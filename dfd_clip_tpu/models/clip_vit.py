@@ -1,0 +1,176 @@
+"""Frozen CLIP Vision Transformer with per-layer attention K/V export.
+
+TPU-first reimplementation of the behavior of the reference's vendored CLIP
+visual tower (/root/reference/src/clip/model.py:171-294): every transformer
+block exposes its head-split attention keys and values (the in-projection
+outputs, *before* attention and out-projection), which the temporal decoder
+consumes. Differences from the reference implementation, by design:
+
+  * The 12 blocks are expressed as one ``lax.scan`` over stacked block
+    parameters, so XLA compiles a single fused block body and the exported
+    K/V arrive as one ``(layers, batch, tokens, heads, head_dim)`` array —
+    ideal for static layer selection, sharding, and Pallas consumption.
+  * Activations run in a configurable compute dtype (bfloat16 by default for
+    the MXU); LayerNorm stays fp32 (see layers.layer_norm).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import layers
+from ..ops.attention import encoder_self_attention
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    """Static architecture description (the encoder-interface contract:
+    cf. src/models.py:364-391 `.width/.heads/.input_resolution/.patch_size`)."""
+
+    input_resolution: int = 224
+    patch_size: int = 16
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    output_dim: int = 512
+
+    @property
+    def grid(self) -> int:
+        return self.input_resolution // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid * self.grid
+
+    @property
+    def num_tokens(self) -> int:
+        return self.num_patches + 1
+
+    @property
+    def head_dim(self) -> int:
+        return self.width // self.heads
+
+
+VIT_B16 = ViTConfig()
+VIT_L14 = ViTConfig(patch_size=14, width=1024, layers=24, heads=16, output_dim=768)
+VIT_L14_336 = dataclasses.replace(VIT_L14, input_resolution=336)
+
+ARCHITECTURES = {
+    "ViT-B/16": VIT_B16,
+    "ViT-B/32": dataclasses.replace(VIT_B16, patch_size=32),
+    "ViT-L/14": VIT_L14,
+    "ViT-L/14@336px": VIT_L14_336,
+}
+
+
+def init_clip_vision(key: jax.Array, cfg: ViTConfig) -> Params:
+    """Random init with CLIP-style scales; real runs overwrite via weights.py."""
+    keys = jax.random.split(key, 6)
+    scale = cfg.width ** -0.5
+    w = cfg.width
+
+    def init_block(k: jax.Array) -> Params:
+        ks = jax.random.split(k, 4)
+        attn_std = (2 * w) ** -0.5  # CLIP init: width**-0.5 * (2*layers)**-0.5-ish
+        return {
+            "ln_1": layers.init_layer_norm(w),
+            "attn": {
+                "in_proj": layers.init_linear(ks[0], w, 3 * w, std=attn_std),
+                "out_proj": layers.init_linear(ks[1], w, w, std=attn_std),
+            },
+            "ln_2": layers.init_layer_norm(w),
+            "mlp": {
+                "c_fc": layers.init_linear(ks[2], w, 4 * w, std=scale),
+                "c_proj": layers.init_linear(ks[3], 4 * w, w, std=scale),
+            },
+        }
+
+    block_keys = jax.random.split(keys[4], cfg.layers)
+    blocks = [init_block(k) for k in block_keys]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+
+    return {
+        "conv1": {
+            "w": scale
+            * jax.random.normal(
+                keys[0], (cfg.patch_size, cfg.patch_size, 3, w), jnp.float32
+            )
+        },
+        "class_embedding": scale * jax.random.normal(keys[1], (w,), jnp.float32),
+        "positional_embedding": scale
+        * jax.random.normal(keys[2], (cfg.num_tokens, w), jnp.float32),
+        "ln_pre": layers.init_layer_norm(w),
+        "blocks": stacked,
+    }
+
+
+def embed_patches(params: Params, x: jax.Array, cfg: ViTConfig,
+                  compute_dtype: jnp.dtype = jnp.bfloat16) -> jax.Array:
+    """Conv patch-embed -> [CLS; patches] + positional embedding -> ln_pre.
+
+    Matches /root/reference/src/clip/model.py:276-292. Input x: (N, 3, H, W)
+    float32 normalized frames (channel-first, matching the data layer).
+    """
+    x = x.astype(compute_dtype)
+    # NCHW -> NHWC, conv with HWIO kernel, stride = patch.
+    x = jnp.transpose(x, (0, 2, 3, 1))
+    w = params["conv1"]["w"].astype(compute_dtype)
+    x = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(cfg.patch_size, cfg.patch_size),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    x = x.reshape(x.shape[0], -1, cfg.width)  # (N, grid^2, width)
+    cls = jnp.broadcast_to(
+        params["class_embedding"].astype(compute_dtype), (x.shape[0], 1, cfg.width)
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["positional_embedding"].astype(compute_dtype)
+    x = layers.layer_norm(params["ln_pre"], x)
+    return x
+
+
+def clip_vision_kv(
+    params: Params,
+    x: jax.Array,
+    cfg: ViTConfig,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+) -> Dict[str, jax.Array]:
+    """Run the frozen tower, exporting per-layer head-split K and V.
+
+    Returns {"k": (L, N, T, H, D), "v": (L, N, T, H, D)} where T includes the
+    CLS token (callers drop index 0, cf. src/models.py:505-507).
+
+    K/V are the raw in-projection outputs before attention/out-proj — the
+    exact export point of /root/reference/src/clip/model.py:185-199.
+    """
+    h = embed_patches(params, x, cfg, compute_dtype)
+
+    def block_fn(carry: jax.Array, bp: Params):
+        x = carry
+        y = layers.layer_norm(bp["ln_1"], x)
+        qkv = layers.linear(bp["attn"]["in_proj"], y)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        n, t, _ = q.shape
+        q = q.reshape(n, t, cfg.heads, cfg.head_dim)
+        k = k.reshape(n, t, cfg.heads, cfg.head_dim)
+        v = v.reshape(n, t, cfg.heads, cfg.head_dim)
+        attn_out = encoder_self_attention(q, k, v)
+        attn_out = layers.linear(bp["attn"]["out_proj"], attn_out.reshape(n, t, cfg.width))
+        x = x + attn_out
+        y = layers.layer_norm(bp["ln_2"], x)
+        y = layers.linear(bp["mlp"]["c_fc"], y)
+        y = layers.quick_gelu(y)
+        y = layers.linear(bp["mlp"]["c_proj"], y)
+        x = x + y
+        return x, {"k": k, "v": v}
+
+    _, kvs = jax.lax.scan(block_fn, h, params["blocks"])
+    return kvs

@@ -1,0 +1,230 @@
+"""Temporal cross-attention decoder.
+
+Re-architecture of the reference Decoder (/root/reference/src/models.py:272-361):
+a learned CLS query cross-attends the per-layer K/V streams exported by the
+frozen encoder. Per kept encoder layer there is one residual block whose
+LayerNorms and MLP are *initialized from the frozen encoder's weights at that
+layer* (src/models.py:178-229). A shared temporal positional embedding is
+added to both K and V (same embedding for every patch of a frame), K/V are
+flattened over (frames, patches), and the per-block outputs are concatenated.
+
+Supported op_mode flags (src/models.py:105-115, 250-269, 307-321, 326-329):
+  temporal_position, attn_mode ("frame"/"temporal"), aug_query,
+  global_prediction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import layers
+from ..ops.decoder_attention import dual_activation_attention
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    width: int
+    heads: int
+    num_frames: int
+    layer_indices: Tuple[int, ...]
+    out_dims: Tuple[int, ...]
+    dropout: float = 0.0
+    temporal_position: bool = True
+    attn_mode: Tuple[str, ...] = ()
+    aug_query: bool = False
+    global_prediction: bool = False
+    concat_ref: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.width // self.heads
+
+    @property
+    def num_blocks(self) -> int:
+        return len(self.layer_indices)
+
+
+def _init_block(key: jax.Array, width: int) -> Params:
+    ks = jax.random.split(key, 4)
+    return {
+        "ln_1": layers.init_layer_norm(width),
+        # in_proj emits one query per activation (softmax + CoDA): 2x width.
+        "attn": {
+            "in_proj": layers.init_linear(ks[0], width, 2 * width),
+            "out_proj": layers.init_linear(ks[1], width, width),
+        },
+        "ln_2": layers.init_layer_norm(width),
+        "mlp": {
+            "c_fc": layers.init_linear(ks[2], width, 4 * width),
+            "c_proj": layers.init_linear(ks[3], 4 * width, width),
+        },
+    }
+
+
+def _reference_block_params(encoder_blocks: Params, layer: int) -> Params:
+    """Slice one encoder block's ln/mlp params out of the scan-stacked pytree."""
+    return jax.tree_util.tree_map(lambda x: x[layer], encoder_blocks)
+
+
+def init_decoder(
+    key: jax.Array,
+    cfg: DecoderConfig,
+    encoder_blocks: Optional[Params] = None,
+) -> Params:
+    """Initialize decoder params; ln_1/ln_2/mlp seeded from the encoder.
+
+    ``encoder_blocks`` is the frozen encoder's stacked block pytree
+    (clip_vit params["blocks"]); when given, block i copies the LayerNorm and
+    MLP weights of encoder layer ``layer_indices[i]`` — with the concat_ref
+    stagger copying the *next* kept layer's preceding MLP
+    (src/models.py:216-229).
+    """
+    n = cfg.num_blocks
+    keys = jax.random.split(key, n + 3)
+    scale = cfg.width ** -0.5
+
+    blocks: List[Params] = []
+    for i in range(n):
+        blk = _init_block(keys[i], cfg.width)
+        if encoder_blocks is not None:
+            current = cfg.layer_indices[i]
+            ref = _reference_block_params(encoder_blocks, current)
+            blk["ln_1"] = jax.tree_util.tree_map(jnp.array, ref["ln_1"])
+            blk["ln_2"] = jax.tree_util.tree_map(jnp.array, ref["ln_2"])
+            if cfg.concat_ref and i < n - 1:
+                mlp_ref = _reference_block_params(
+                    encoder_blocks, cfg.layer_indices[i + 1] - 1
+                )["mlp"]
+            else:
+                mlp_ref = ref["mlp"]
+            blk["mlp"] = jax.tree_util.tree_map(jnp.array, mlp_ref)
+        blocks.append(blk)
+
+    params: Params = {
+        "class_embedding": scale * jax.random.normal(keys[n], (cfg.width,), jnp.float32),
+        "ln_pre": layers.init_layer_norm(cfg.width),
+        "ln_post": layers.init_layer_norm(cfg.width),
+        "blocks": blocks,
+    }
+    if cfg.temporal_position:
+        params["positional_embedding"] = scale * jax.random.normal(
+            keys[n + 1], (cfg.num_frames, 1, cfg.heads, cfg.head_dim), jnp.float32
+        )
+    if cfg.aug_query:
+        params["aug_query"] = jnp.zeros((n - 1, cfg.width), jnp.float32)
+
+    proj_keys = jax.random.split(keys[n + 2], len(cfg.out_dims))
+    task_projections: List[List[jax.Array]] = []
+    for t, out_dim in enumerate(cfg.out_dims):
+        n_mats = n if cfg.global_prediction else 1
+        mats = [
+            scale
+            * jax.random.normal(
+                jax.random.fold_in(proj_keys[t], j), (cfg.width, out_dim), jnp.float32
+            )
+            for j in range(n_mats)
+        ]
+        task_projections.append(mats)
+    params["task_projections"] = task_projections
+    return params
+
+
+def apply_decoder(
+    params: Params,
+    kvs: Dict[str, jax.Array],
+    m: jax.Array,
+    cfg: DecoderConfig,
+    *,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[List[jax.Array], jax.Array]:
+    """Decode per-layer K/V into task logits.
+
+    Args:
+      kvs: {"k": (Lsel, B, T, P, H, D), "v": same} — selected encoder layers.
+      m: (B, T) bool frame-validity mask.
+
+    Returns: (task_logits list [(B, out_dim)], video_feature).
+    """
+    k_all, v_all = kvs["k"], kvs["v"]
+    nsel, b, t, p, h, d = k_all.shape
+    assert nsel == cfg.num_blocks
+
+    # Temporal positional embedding on both K and V (shared across patches).
+    # Sliced to the actual frame count: op_mode.ema_frame collapses T to 1
+    # (the reference requires temporal_position=0 there; slicing generalizes).
+    if cfg.temporal_position:
+        pos = params["positional_embedding"][:t][None, None]  # (1,1,T,1,H,D)
+        k_all = k_all + pos.astype(k_all.dtype)
+        v_all = v_all + pos.astype(v_all.dtype)
+
+    # Flatten (T, P) -> L tokens; expand frame mask to token mask.
+    k_all = k_all.reshape(nsel, b, t * p, h, d)
+    v_all = v_all.reshape(nsel, b, t * p, h, d)
+    token_mask = jnp.repeat(m, p, axis=-1)  # (B, T*P)
+
+    def next_rng():
+        nonlocal rng
+        if rng is None:
+            return None
+        rng, sub = jax.random.split(rng)
+        return sub
+
+    x = jnp.broadcast_to(
+        params["class_embedding"].astype(k_all.dtype), (b, 1, cfg.width)
+    )
+    x = layers.layer_norm(params["ln_pre"], x)
+    x = layers.dropout(x, cfg.dropout, next_rng(), train)
+
+    results = []
+    for i, blk in enumerate(params["blocks"]):
+        q_in = layers.layer_norm(blk["ln_1"], x)
+        qs = layers.linear(blk["attn"]["in_proj"], q_in)
+        q_smax, q_coda = jnp.split(qs, 2, axis=-1)
+        q_smax = q_smax.reshape(b, -1, h, d)
+        q_coda = q_coda.reshape(b, -1, h, d)
+        attn_out = dual_activation_attention(
+            q_smax, q_coda, k_all[i], v_all[i], token_mask,
+            num_frames=t, attn_mode=cfg.attn_mode,
+        )
+        attn_out = layers.linear(blk["attn"]["out_proj"], attn_out.reshape(b, -1, cfg.width))
+        x = x + attn_out
+        y = layers.layer_norm(blk["ln_2"], x)
+        y = layers.linear(blk["mlp"]["c_fc"], y)
+        y = layers.quick_gelu(y)
+        y = layers.dropout(y, cfg.dropout, next_rng(), train)
+        y = layers.linear(blk["mlp"]["c_proj"], y)
+        x = x + y
+        results.append(x)
+        if cfg.aug_query and i < cfg.num_blocks - 1:
+            x = x + params["aug_query"][i].astype(x.dtype)
+
+    feats = jnp.concatenate(results, axis=1)  # (B, num_blocks, W)
+
+    if not cfg.global_prediction:
+        feats = feats[:, -1]  # (B, W)
+    feats = layers.layer_norm(params["ln_post"], feats)
+    feats = layers.dropout(feats, cfg.dropout, next_rng(), train)
+    video_feature = feats.astype(jnp.float32)
+
+    task_logits: List[jax.Array] = []
+    if cfg.global_prediction:
+        n = cfg.num_blocks
+        denom = (1 + n) * n / 2.0  # depth-weighted average (src/models.py:345-357)
+        for mats in params["task_projections"]:
+            logit = sum(
+                (video_feature[:, i] @ mats[i]) * ((i + 1) / denom)
+                for i in range(n)
+            )
+            task_logits.append(logit)
+    else:
+        for mats in params["task_projections"]:
+            task_logits.append(video_feature @ mats[-1])
+
+    return task_logits, video_feature

@@ -1,0 +1,131 @@
+"""Frozen DINOv2 Vision Transformer with per-layer K/V export.
+
+Alternate backbone behind the same encoder interface as clip_vit
+(cf. /root/reference/src/models.py:364-391 and
+dinov2/models/vision_transformer.py:221-244): patch-14 ViT with LayerScale
+(init_values=1.0), exact GELU MLP, biased qkv projection, and per-block
+head-split K/V capture before attention/out-projection
+(dinov2/layers/attention.py:66-85).
+
+Like clip_vit, the block stack is a single ``lax.scan`` and K/V come back as
+``(layers, batch, tokens, heads, head_dim)``. The positional embedding is
+stored at the *working* grid size — the torch->jax converter performs the
+reference's bicubic interpolation (vision_transformer.py:165-189) once at
+load time, since input resolution is static under jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from . import layers
+from .clip_vit import ViTConfig
+from ..ops.attention import encoder_self_attention
+
+Params = Dict[str, Any]
+
+# The reference always builds vit_base(patch=14) regardless of the config's
+# architecture string (src/models.py:368); map common strings to it.
+DINOV2_B14 = ViTConfig(
+    input_resolution=224, patch_size=14, width=768, layers=12, heads=12, output_dim=768
+)
+DINOV2_L14 = ViTConfig(
+    input_resolution=224, patch_size=14, width=1024, layers=24, heads=16, output_dim=1024
+)
+
+ARCHITECTURES = {
+    "ViT-B/16": DINOV2_B14,  # reference configs keep this string for dinov2
+    "ViT-B/14": DINOV2_B14,
+    "ViT-L/14": DINOV2_L14,
+}
+
+
+def init_dinov2(key: jax.Array, cfg: ViTConfig) -> Params:
+    keys = jax.random.split(key, 5)
+    w = cfg.width
+    scale = 0.02
+
+    def init_block(k: jax.Array) -> Params:
+        ks = jax.random.split(k, 4)
+        return {
+            "ln_1": layers.init_layer_norm(w),
+            "attn": {
+                "in_proj": layers.init_linear(ks[0], w, 3 * w, std=scale),
+                "out_proj": layers.init_linear(ks[1], w, w, std=scale),
+            },
+            "ls1": jnp.ones((w,), jnp.float32),
+            "ln_2": layers.init_layer_norm(w),
+            "mlp": {
+                "c_fc": layers.init_linear(ks[2], w, 4 * w, std=scale),
+                "c_proj": layers.init_linear(ks[3], 4 * w, w, std=scale),
+            },
+            "ls2": jnp.ones((w,), jnp.float32),
+        }
+
+    block_keys = jax.random.split(keys[3], cfg.layers)
+    blocks = [init_block(k) for k in block_keys]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+
+    return {
+        "conv1": {
+            "w": scale * jax.random.normal(
+                keys[0], (cfg.patch_size, cfg.patch_size, 3, w), jnp.float32
+            ),
+            "b": jnp.zeros((w,), jnp.float32),
+        },
+        "class_embedding": scale * jax.random.normal(keys[1], (w,), jnp.float32),
+        "positional_embedding": scale
+        * jax.random.normal(keys[2], (cfg.num_tokens, w), jnp.float32),
+        "blocks": stacked,
+        "ln_post": layers.init_layer_norm(w),
+    }
+
+
+def dinov2_kv(
+    params: Params,
+    x: jax.Array,
+    cfg: ViTConfig,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+) -> Dict[str, jax.Array]:
+    """{"k","v"}: (L, N, T, H, D) with CLS at token 0 (callers drop it)."""
+    x = x.astype(compute_dtype)
+    x = jnp.transpose(x, (0, 2, 3, 1))
+    w = params["conv1"]["w"].astype(compute_dtype)
+    x = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(cfg.patch_size, cfg.patch_size),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    x = x.reshape(x.shape[0], -1, cfg.width) + params["conv1"]["b"].astype(compute_dtype)
+    cls = jnp.broadcast_to(
+        params["class_embedding"].astype(compute_dtype), (x.shape[0], 1, cfg.width)
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["positional_embedding"].astype(compute_dtype)
+
+    def block_fn(carry: jax.Array, bp: Params):
+        h = carry
+        y = layers.layer_norm(bp["ln_1"], h)
+        qkv = layers.linear(bp["attn"]["in_proj"], y)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        n, t, _ = q.shape
+        q = q.reshape(n, t, cfg.heads, cfg.head_dim)
+        k = k.reshape(n, t, cfg.heads, cfg.head_dim)
+        v = v.reshape(n, t, cfg.heads, cfg.head_dim)
+        attn_out = encoder_self_attention(q, k, v).reshape(n, t, cfg.width)
+        attn_out = layers.linear(bp["attn"]["out_proj"], attn_out)
+        h = h + bp["ls1"].astype(h.dtype) * attn_out
+        y = layers.layer_norm(bp["ln_2"], h)
+        y = layers.linear(bp["mlp"]["c_fc"], y)
+        y = jax.nn.gelu(y, approximate=False)
+        y = layers.linear(bp["mlp"]["c_proj"], y)
+        h = h + bp["ls2"].astype(h.dtype) * y
+        return h, {"k": k, "v": v}
+
+    _, kvs = jax.lax.scan(block_fn, x, params["blocks"])
+    return kvs

@@ -1,0 +1,208 @@
+"""Checkpoint conversion and (de)serialization.
+
+Converts pretrained torch checkpoints into this framework's parameter pytrees:
+
+  * OpenAI CLIP checkpoints (the jit-archive or plain state_dict format the
+    reference downloads, /root/reference/src/clip/clip.py:94-194) — only the
+    visual tower is used.
+  * Meta DINOv2 ``dinov2_vitb14_pretrain.pth`` state dicts
+    (src/models.py:368-369), including the one-time bicubic positional-
+    embedding interpolation to the working grid
+    (dinov2/models/vision_transformer.py:165-189).
+
+Also provides the framework's own checkpoint format: a pickled pure-numpy
+pytree (dicts/lists/ndarrays only — no framework objects), written to
+``best_weights.pt`` / ``last_weights.pt`` for CLI parity with the reference.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .clip_vit import ViTConfig
+
+Params = Dict[str, Any]
+
+
+# -- framework-native checkpoints ------------------------------------------------
+
+def to_numpy_tree(tree: Any) -> Any:
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_params(path: str, tree: Any) -> None:
+    with open(path, "wb") as f:
+        pickle.dump(to_numpy_tree(tree), f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def load_params(path: str) -> Any:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def load_adapter_checkpoint(path: str, template: Params) -> Params:
+    """Load a CompInvEncoder run's adapter weights (src/models.py:472-478)."""
+    state = load_params(path)
+    if isinstance(state, dict) and "adapter" in state:
+        state = state["adapter"]
+    # Shape-check against the template.
+    jax.tree_util.tree_map(
+        lambda a, b: None if np.shape(a) == np.shape(b) else (_ for _ in ()).throw(
+            ValueError(f"adapter shape mismatch: {np.shape(a)} vs {np.shape(b)}")
+        ),
+        state,
+        to_numpy_tree(template),
+    )
+    return jax.tree_util.tree_map(jnp.asarray, state)
+
+
+# -- torch state-dict loading -----------------------------------------------------
+
+def _load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch checkpoint into numpy without keeping torch tensors around."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    if isinstance(obj, dict) and "state_dict" in obj and isinstance(obj["state_dict"], dict):
+        obj = obj["state_dict"]
+    return {k: v.float().numpy() for k, v in obj.items() if hasattr(v, "numpy")}
+
+
+def _lin(sd: Dict[str, np.ndarray], prefix: str) -> Params:
+    """torch Linear (out,in) -> ours (in,out)."""
+    p: Params = {"w": jnp.asarray(sd[f"{prefix}.weight"].T)}
+    if f"{prefix}.bias" in sd:
+        p["b"] = jnp.asarray(sd[f"{prefix}.bias"])
+    return p
+
+
+def _ln(sd: Dict[str, np.ndarray], prefix: str) -> Params:
+    return {
+        "scale": jnp.asarray(sd[f"{prefix}.weight"]),
+        "bias": jnp.asarray(sd[f"{prefix}.bias"]),
+    }
+
+
+def convert_clip_visual(sd: Dict[str, np.ndarray], cfg: ViTConfig) -> Params:
+    """OpenAI CLIP state_dict (visual.*) -> clip_vit params."""
+    pre = "visual." if any(k.startswith("visual.") for k in sd) else ""
+
+    blocks = []
+    for i in range(cfg.layers):
+        b = f"{pre}transformer.resblocks.{i}"
+        blocks.append(
+            {
+                "ln_1": _ln(sd, f"{b}.ln_1"),
+                "attn": {
+                    "in_proj": {
+                        "w": jnp.asarray(sd[f"{b}.attn.in_proj_weight"].T),
+                        "b": jnp.asarray(sd[f"{b}.attn.in_proj_bias"]),
+                    },
+                    "out_proj": _lin(sd, f"{b}.attn.out_proj"),
+                },
+                "ln_2": _ln(sd, f"{b}.ln_2"),
+                "mlp": {
+                    "c_fc": _lin(sd, f"{b}.mlp.c_fc"),
+                    "c_proj": _lin(sd, f"{b}.mlp.c_proj"),
+                },
+            }
+        )
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+
+    return {
+        # torch conv OIHW -> HWIO
+        "conv1": {"w": jnp.asarray(sd[f"{pre}conv1.weight"].transpose(2, 3, 1, 0))},
+        "class_embedding": jnp.asarray(sd[f"{pre}class_embedding"]),
+        "positional_embedding": jnp.asarray(sd[f"{pre}positional_embedding"]),
+        "ln_pre": _ln(sd, f"{pre}ln_pre"),
+        "blocks": stacked,
+    }
+
+
+def infer_clip_vit_config(sd: Dict[str, np.ndarray]) -> ViTConfig:
+    """Infer architecture from a CLIP state dict (src/clip/model.py:453-496)."""
+    pre = "visual." if any(k.startswith("visual.") for k in sd) else ""
+    conv = sd[f"{pre}conv1.weight"]  # (width, 3, patch, patch)
+    width, _, patch, _ = conv.shape
+    n_layers = len(
+        {k.split(".")[2 if pre else 1] for k in sd if f"{pre}transformer.resblocks" in k}
+    )
+    grid = int(round((sd[f"{pre}positional_embedding"].shape[0] - 1) ** 0.5))
+    return ViTConfig(
+        input_resolution=grid * patch,
+        patch_size=patch,
+        width=width,
+        layers=n_layers,
+        heads=width // 64,
+        output_dim=sd[f"{pre}proj"].shape[1] if f"{pre}proj" in sd else width,
+    )
+
+
+def load_clip_visual(path: str) -> tuple[Params, ViTConfig]:
+    sd = _load_torch_state_dict(path)
+    cfg = infer_clip_vit_config(sd)
+    return convert_clip_visual(sd, cfg), cfg
+
+
+def _interpolate_pos_embed(pos: np.ndarray, target_grid: int) -> jnp.ndarray:
+    """(1+S^2, w) -> (1+g^2, w) via bicubic resize of the spatial part."""
+    n_tok, w = pos.shape
+    src_grid = int(round((n_tok - 1) ** 0.5))
+    if src_grid == target_grid:
+        return jnp.asarray(pos)
+    cls, grid = pos[:1], pos[1:].reshape(src_grid, src_grid, w)
+    grid = jax.image.resize(
+        jnp.asarray(grid), (target_grid, target_grid, w), method="bicubic"
+    )
+    return jnp.concatenate([jnp.asarray(cls), grid.reshape(-1, w)], axis=0)
+
+
+def convert_dinov2(sd: Dict[str, np.ndarray], cfg: ViTConfig) -> Params:
+    """DINOv2 pretrain state_dict -> dinov2_vit params (pos-embed resized)."""
+    blocks = []
+    for i in range(cfg.layers):
+        b = f"blocks.{i}"
+        blocks.append(
+            {
+                "ln_1": _ln(sd, f"{b}.norm1"),
+                "attn": {
+                    "in_proj": {
+                        "w": jnp.asarray(sd[f"{b}.attn.qkv.weight"].T),
+                        "b": jnp.asarray(sd[f"{b}.attn.qkv.bias"]),
+                    },
+                    "out_proj": _lin(sd, f"{b}.attn.proj"),
+                },
+                "ls1": jnp.asarray(sd[f"{b}.ls1.gamma"]),
+                "ln_2": _ln(sd, f"{b}.norm2"),
+                "mlp": {
+                    "c_fc": _lin(sd, f"{b}.mlp.fc1"),
+                    "c_proj": _lin(sd, f"{b}.mlp.fc2"),
+                },
+                "ls2": jnp.asarray(sd[f"{b}.ls2.gamma"]),
+            }
+        )
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+
+    return {
+        "conv1": {
+            "w": jnp.asarray(sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0)),
+            "b": jnp.asarray(sd["patch_embed.proj.bias"]),
+        },
+        "class_embedding": jnp.asarray(sd["cls_token"].reshape(-1)),
+        "positional_embedding": _interpolate_pos_embed(
+            sd["pos_embed"].reshape(sd["pos_embed"].shape[-2], -1), cfg.grid
+        ),
+        "blocks": stacked,
+        "ln_post": _ln(sd, "norm"),
+    }
+
+
+def load_dinov2(path: str, cfg: ViTConfig) -> Params:
+    return convert_dinov2(_load_torch_state_dict(path), cfg)

@@ -1,0 +1,86 @@
+"""Dual-activation (softmax + CoDA) cross attention for the temporal decoder.
+
+Behavioral spec from /root/reference/src/models.py:81-146: a learned query
+attends the flattened (frames x patches) K/V token stream with the *mean* of
+two activations —
+
+  * masked softmax over the token axis (optionally factorized per-frame /
+    per-temporal when ``attn_mode`` is set, src/models.py:105-115), and
+  * CoDA (Compositional De-Attention, NeurIPS'19): ``tanh`` affinity gated by
+    an L1-distance sigmoid, masked positions contributing exactly zero.
+
+K and V come straight from the frozen encoder (head-split, never re-projected).
+Logit math runs in fp32; the einsum contractions hit the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def dual_activation_attention(
+    q_smax: jax.Array,
+    q_coda: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array,
+    num_frames: int,
+    attn_mode: Sequence[str] = (),
+) -> jax.Array:
+    """Compute ((softmax + CoDA)/2) attention.
+
+    Args:
+      q_smax, q_coda: (B, Q, H, D) queries for each activation.
+      k, v: (B, L, H, D) with L = num_frames * patches.
+      mask: (B, L) bool, True = attendable token.
+      num_frames: static frame count (for factorized attn_mode reshapes).
+      attn_mode: subset of {"frame", "temporal"}; empty = plain softmax.
+
+    Returns: (B, Q, H, D).
+    """
+    d = q_smax.shape[-1]
+    scale = d ** -0.5
+    f32 = jnp.float32
+    m = mask[:, None, :, None]  # (B, 1, L, 1)
+
+    # --- softmax branch ---
+    logits = jnp.einsum(
+        "bqhd,blhd->bqlh", q_smax * scale, k, preferred_element_type=f32
+    )
+    neg_inf = jnp.asarray(-jnp.inf, f32)
+    logits = jnp.where(m, logits, neg_inf)
+    if not attn_mode:
+        aff_smax = jax.nn.softmax(logits, axis=2)
+    else:
+        b, q, l, h = logits.shape
+        fact = logits.reshape(b, q, num_frames, l // num_frames, h)
+        parts = []
+        if "frame" in attn_mode:
+            parts.append(jax.nn.softmax(fact, axis=3))
+        if "temporal" in attn_mode:
+            parts.append(jax.nn.softmax(fact, axis=2))
+        if not parts:
+            raise ValueError(f"attn_mode must contain 'frame' or 'temporal', got {attn_mode}")
+        aff_smax = sum(parts).reshape(b, q, l, h)
+    # Fully-masked rows produce NaNs from softmax(-inf); zero them out.
+    aff_smax = jnp.where(jnp.isnan(aff_smax), jnp.zeros((), f32), aff_smax)
+
+    # --- CoDA branch ---
+    aff_coda = jnp.tanh(
+        jnp.einsum("bqhd,blhd->bqlh", q_coda * scale, k, preferred_element_type=f32)
+    )
+    l1 = jnp.sum(
+        jnp.abs(q_coda[:, :, None].astype(f32) - k[:, None, :].astype(f32)), axis=-1
+    )  # (B, Q, L, H)
+    gate = 2.0 * jax.nn.sigmoid(-l1 * scale)
+    gate = jnp.where(m, gate, jnp.zeros((), f32))
+    aff_coda = aff_coda * gate
+
+    aff = (aff_smax + aff_coda) * 0.5
+    out = jnp.einsum(
+        "bqlh,blhd->bqhd", aff.astype(v.dtype), v, preferred_element_type=f32
+    )
+    return out.astype(v.dtype)

@@ -1,0 +1,129 @@
+"""Device mesh runtime.
+
+TPU-native replacement for the reference's HuggingFace Accelerate + NCCL
+process-group layer (cf. /root/reference/main.py:280-317 and
+/root/reference/dinov2/distributed/__init__.py): one `jax.sharding.Mesh`
+owned by the runtime, data parallelism expressed as a `NamedSharding` on the
+batch axis, gradient sync done by XLA collectives inside the jitted step.
+
+Axes:
+  * ``data`` — batch/data parallelism (gradient psum rides ICI).
+  * ``seq``  — sequence parallelism: the frozen encoder is embarrassingly
+    parallel over (batch x frames), and the decoder's flattened K/V stream is
+    sharded on its token axis (see SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+
+
+def best_mesh_shape(n_devices: int, seq_parallel: int = 1) -> tuple[int, int]:
+    """Factor ``n_devices`` into (data, seq) mesh dims."""
+    if n_devices % seq_parallel != 0:
+        raise ValueError(
+            f"seq_parallel={seq_parallel} must divide device count {n_devices}"
+        )
+    return n_devices // seq_parallel, seq_parallel
+
+
+def initialize_multihost() -> None:
+    """Bootstrap multi-host JAX from cluster env vars when present.
+
+    Replaces the reference's SLURM/torchrun NCCL bootstrap
+    (/root/reference/dinov2/distributed/__init__.py:152-237).
+    """
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+class MeshRuntime:
+    """Owns the device mesh and the canonical shardings of the framework."""
+
+    DATA_AXIS = "data"
+    SEQ_AXIS = "seq"
+
+    def __init__(
+        self,
+        devices: Optional[Sequence[Any]] = None,
+        seq_parallel: int = 1,
+    ):
+        self.devices = list(devices) if devices is not None else jax.devices()
+        dp, sp = best_mesh_shape(len(self.devices), seq_parallel)
+        dev_array = np.asarray(self.devices).reshape(dp, sp)
+        self.mesh = Mesh(dev_array, (self.DATA_AXIS, self.SEQ_AXIS))
+        self.data_parallel = dp
+        self.seq_parallel = sp
+        logger.info(
+            "MeshRuntime: %d devices, mesh (data=%d, seq=%d)", len(self.devices), dp, sp
+        )
+
+    # -- process topology ----------------------------------------------------
+    @property
+    def num_processes(self) -> int:
+        return jax.process_count()
+
+    @property
+    def process_index(self) -> int:
+        return jax.process_index()
+
+    @property
+    def is_main_process(self) -> bool:
+        return jax.process_index() == 0
+
+    def print(self, *args: Any, **kwargs: Any) -> None:
+        if self.is_main_process:
+            print(*args, **kwargs)
+
+    # -- shardings -------------------------------------------------------------
+    def sharding(self, *spec: Any) -> NamedSharding:
+        return NamedSharding(self.mesh, P(*spec))
+
+    @property
+    def batch_sharding(self) -> NamedSharding:
+        """Leading-axis sharding over the data axis."""
+        return self.sharding(self.DATA_AXIS)
+
+    @property
+    def replicated(self) -> NamedSharding:
+        return self.sharding()
+
+    def shard_batch(self, tree: Any) -> Any:
+        """Place a host batch on the mesh, sharded on the leading axis."""
+        sh = self.batch_sharding
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+    def replicate(self, tree: Any) -> Any:
+        sh = self.replicated
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+    def pad_batch_to_devices(self, n: int) -> int:
+        """Smallest multiple of the data-axis size that is >= n."""
+        dp = self.data_parallel
+        return ((n + dp - 1) // dp) * dp
+
+    # -- metric gather ---------------------------------------------------------
+    def gather_for_metrics(self, tree: Any) -> Any:
+        """Gather per-process arrays for metric computation.
+
+        Multi-host analog of Accelerate's ``gather_for_metrics``
+        (/root/reference/src/callbacks/metrics.py:98); identity on one host.
+        """
+        if jax.process_count() == 1:
+            return jax.tree_util.tree_map(np.asarray, tree)
+        from jax.experimental import multihost_utils
+
+        return jax.tree_util.tree_map(
+            lambda x: np.asarray(multihost_utils.process_allgather(x)).reshape(
+                (-1,) + np.shape(x)[1:]
+            ),
+            tree,
+        )
