@@ -1,0 +1,209 @@
+// First-party seek-decoder for the TPU data plane.
+//
+// Replaces the TorchVision `video_reader` C++ backend the reference depends
+// on (/root/reference/src/datasets.py:30,636-662): given a list of target
+// timestamps, returns for each the first frame with pts >= t (the
+// `seek(t); next()` semantics), as packed RGB24. Sequential targets decode
+// forward without re-seeking; backward jumps seek to the preceding keyframe.
+//
+// Build: python csrc/build.py  ->  csrc/libdfdvideo.so
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libswscale/swscale.h>
+}
+
+#include <cmath>
+#include <cstring>
+#include <mutex>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr double kEps = 1e-6;
+
+struct Decoder {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* codec = nullptr;
+  SwsContext* sws = nullptr;
+  int stream_index = -1;
+  double time_base = 0.0;
+  // current decode position: pts (seconds) of the last returned frame
+  double last_pts = -1.0;
+  bool eof = false;
+
+  ~Decoder() {
+    if (sws) sws_freeContext(sws);
+    if (codec) avcodec_free_context(&codec);
+    if (fmt) avformat_close_input(&fmt);
+  }
+
+  int open(const char* path) {
+    if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
+    if (avformat_find_stream_info(fmt, nullptr) < 0) return -2;
+    stream_index =
+        av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+    if (stream_index < 0) return -3;
+    AVStream* st = fmt->streams[stream_index];
+    const AVCodec* dec = avcodec_find_decoder(st->codecpar->codec_id);
+    if (!dec) return -4;
+    codec = avcodec_alloc_context3(dec);
+    if (!codec) return -5;
+    if (avcodec_parameters_to_context(codec, st->codecpar) < 0) return -6;
+    codec->thread_count = 0;  // auto
+    if (avcodec_open2(codec, dec, nullptr) < 0) return -7;
+    time_base = av_q2d(st->time_base);
+    return 0;
+  }
+
+  double fps() const {
+    AVStream* st = fmt->streams[stream_index];
+    AVRational r = st->avg_frame_rate.num ? st->avg_frame_rate : st->r_frame_rate;
+    return r.den ? av_q2d(r) : 0.0;
+  }
+
+  double duration() const {
+    AVStream* st = fmt->streams[stream_index];
+    if (st->duration > 0) return st->duration * time_base;
+    if (fmt->duration > 0) return fmt->duration / (double)AV_TIME_BASE;
+    return 0.0;
+  }
+
+  int64_t frames() const {
+    AVStream* st = fmt->streams[stream_index];
+    if (st->nb_frames > 0) return st->nb_frames;
+    double f = fps();
+    return f > 0 ? (int64_t)std::llround(duration() * f) : 0;
+  }
+
+  int seek(double t) {
+    int64_t ts = (int64_t)std::floor(t / time_base);
+    if (av_seek_frame(fmt, stream_index, ts, AVSEEK_FLAG_BACKWARD) < 0)
+      return -1;
+    avcodec_flush_buffers(codec);
+    last_pts = -1.0;
+    eof = false;
+    return 0;
+  }
+
+  // Decode forward until a frame with pts >= t; frame left in `out`.
+  int decode_until(double t, AVFrame* out) {
+    AVPacket* pkt = av_packet_alloc();
+    AVFrame* frame = av_frame_alloc();
+    int rc = -1;
+    while (true) {
+      int err = avcodec_receive_frame(codec, frame);
+      if (err == 0) {
+        int64_t raw = frame->best_effort_timestamp != AV_NOPTS_VALUE
+                          ? frame->best_effort_timestamp
+                          : frame->pts;
+        double pts = raw == AV_NOPTS_VALUE ? last_pts + 1.0 / (fps() > 0 ? fps() : 25.0)
+                                           : raw * time_base;
+        last_pts = pts;
+        if (pts >= t - kEps) {
+          av_frame_unref(out);
+          av_frame_move_ref(out, frame);
+          rc = 0;
+          break;
+        }
+        av_frame_unref(frame);
+        continue;
+      }
+      if (err == AVERROR_EOF) { eof = true; break; }
+      if (err != AVERROR(EAGAIN)) break;
+      // feed more packets
+      int perr;
+      while ((perr = av_read_frame(fmt, pkt)) >= 0) {
+        if (pkt->stream_index == stream_index) break;
+        av_packet_unref(pkt);
+      }
+      if (perr < 0) {
+        avcodec_send_packet(codec, nullptr);  // flush
+      } else {
+        avcodec_send_packet(codec, pkt);
+        av_packet_unref(pkt);
+      }
+    }
+    av_frame_free(&frame);
+    av_packet_free(&pkt);
+    return rc;
+  }
+
+  int to_rgb(AVFrame* frame, unsigned char* dst) {
+    sws = sws_getCachedContext(sws, codec->width, codec->height, codec->pix_fmt,
+                               codec->width, codec->height, AV_PIX_FMT_RGB24,
+                               SWS_BILINEAR, nullptr, nullptr, nullptr);
+    if (!sws) return -1;
+    uint8_t* planes[1] = {dst};
+    int strides[1] = {3 * codec->width};
+    sws_scale(sws, frame->data, frame->linesize, 0, codec->height, planes,
+              strides);
+    return 0;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+int dfd_probe(const char* path, double* fps, long* frames, double* duration) {
+  Decoder d;
+  int rc = d.open(path);
+  if (rc != 0) return rc;
+  *fps = d.fps();
+  *frames = (long)d.frames();
+  *duration = d.duration();
+  return 0;
+}
+
+int dfd_frame_size(const char* path, int* height, int* width) {
+  Decoder d;
+  int rc = d.open(path);
+  if (rc != 0) return rc;
+  *height = d.codec->height;
+  *width = d.codec->width;
+  return 0;
+}
+
+// Decode the first frame with pts >= times[i] for each i into `out`
+// (n * height * width * 3 RGB24). Monotonically increasing times decode
+// forward without seeking; otherwise we seek to the prior keyframe.
+int dfd_read_frames(const char* path, const double* times, int n,
+                    unsigned char* out) {
+  Decoder d;
+  int rc = d.open(path);
+  if (rc != 0) return rc;
+  const int frame_bytes = d.codec->width * d.codec->height * 3;
+  AVFrame* frame = av_frame_alloc();
+  double total = d.duration();
+
+  for (int i = 0; i < n; ++i) {
+    double t = times[i];
+    if (total > 0 && t > total + kEps) { av_frame_free(&frame); return -10; }
+    // Seek when jumping backward, or far forward (>2s of decode work).
+    if (d.last_pts < 0 || t < d.last_pts - kEps || t > d.last_pts + 2.0) {
+      if (d.seek(t) != 0) { av_frame_free(&frame); return -11; }
+    }
+    if (d.last_pts >= t - kEps && i > 0) {
+      // The previously returned frame is already the first with pts >= t
+      // (targets are monotone between seeks); reuse it.
+      std::memcpy(out + (size_t)i * frame_bytes,
+                  out + (size_t)(i - 1) * frame_bytes, frame_bytes);
+      continue;
+    }
+    if (d.decode_until(t, frame) != 0) { av_frame_free(&frame); return -12; }
+    if (d.to_rgb(frame, out + (size_t)i * frame_bytes) != 0) {
+      av_frame_free(&frame);
+      return -13;
+    }
+    av_frame_unref(frame);
+  }
+  av_frame_free(&frame);
+  return 0;
+}
+
+}  // extern "C"

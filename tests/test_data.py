@@ -1,0 +1,229 @@
+"""Data-plane tests: video backends, sampling math, datasets, augment replay,
+loader. Uses real encoded videos written by cv2 into reference-layout trees."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dfd_clip_tpu.data import augment
+from dfd_clip_tpu.data.datasets import CDF, FFPP
+from dfd_clip_tpu.data.loader import DataLoader
+from dfd_clip_tpu.data.video import OpenCVBackend, SyntheticBackend, get_backend
+
+from fixtures import ffpp_config, make_cdf_tree, make_ffpp_tree
+
+
+@pytest.fixture
+def ffpp_root(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)  # video-table pickle cache is CWD-relative
+    return make_ffpp_tree(str(tmp_path / "ffpp"))
+
+
+@pytest.fixture
+def use_opencv_backend(monkeypatch):
+    monkeypatch.setenv("DFD_VIDEO_BACKEND", "opencv")
+
+
+# -- backends ------------------------------------------------------------------
+
+def test_synthetic_backend_deterministic():
+    b = SyntheticBackend()
+    meta = b.probe("synthetic://7?fps=25&duration=10&size=32")
+    assert meta.frames == 250
+    f1 = b.read_frames("synthetic://7?fps=25&duration=10&size=32", [0.0, 1.0])
+    f2 = b.read_frames("synthetic://7?fps=25&duration=10&size=32", [0.0, 1.0])
+    np.testing.assert_array_equal(f1, f2)
+
+
+def test_native_matches_opencv(tmp_path):
+    """The C++ decoder and cv2 must return identical frames & seek choices."""
+    pytest.importorskip("cv2")
+    from fixtures import write_video
+
+    try:
+        from dfd_clip_tpu.data.native_video import NativeVideoLib
+
+        NativeVideoLib.get()
+    except ImportError:
+        pytest.skip("native lib not built")
+
+    p = str(tmp_path / "v.avi")
+    write_video(p, 100, fps=25.0, size=48, seed=3)
+    times = [0.0, 0.04, 0.5, 1.02, 3.9]
+    from dfd_clip_tpu.data.video import NativeBackend
+
+    nat = NativeBackend().read_frames(p, times)
+    ocv = OpenCVBackend().read_frames(p, times)
+    np.testing.assert_array_equal(nat, ocv)
+    m1, m2 = NativeBackend().probe(p), OpenCVBackend().probe(p)
+    assert m1.fps == m2.fps and m1.frames == m2.frames
+
+
+# -- FFPP ----------------------------------------------------------------------
+
+def test_ffpp_table_and_list(ffpp_root, use_opencv_backend):
+    cfg = ffpp_config(ffpp_root)
+    ds = FFPP(cfg, num_frames=8, clip_duration=2, split="train")
+    # 4 ids -> 2 pairs; REAL videos in split: all 4; fakes: both directions = 4
+    # duration 4s / clip 2s = 2 clips each
+    assert len(ds.video_list) == 8
+    assert len(ds) == 16
+    assert ds.stack_video_clips[-1] == 16
+
+
+def test_ffpp_getitem_shapes(ffpp_root, use_opencv_backend):
+    cfg = ffpp_config(ffpp_root)
+    ds = FFPP(cfg, num_frames=8, clip_duration=2, split="train")
+    frames, label, mask, speed, index = ds[0]
+    assert set(frames.keys()) == {"raw"}
+    assert frames["raw"].shape == (8, 3, 64, 64)
+    assert frames["raw"].dtype == np.uint8
+    assert mask.shape == (8,)
+    assert label in (0, 1)
+    assert 0.5 <= speed <= 1.0
+
+
+def test_ffpp_eval_deterministic(ffpp_root, use_opencv_backend):
+    cfg = ffpp_config(ffpp_root)
+    ds = FFPP(cfg, num_frames=8, clip_duration=2, split="val")
+    a = ds.get_dict(0, block=True)
+    b = ds.get_dict(0, block=True)
+    np.testing.assert_array_equal(a["frames"]["raw"], b["frames"]["raw"])
+    assert a["speed"] == 1.0  # no random speed at eval
+
+
+def test_ffpp_sampling_math(ffpp_root, use_opencv_backend):
+    """Frame choice must follow the reference's offset/stride formula
+    (src/datasets.py:641-661)."""
+    cfg = ffpp_config(ffpp_root, random_speed=0)
+    ds = FFPP(cfg, num_frames=4, clip_duration=2, split="val")
+    # clip idx 1 of first video: offset = 2s, stride = (50-1)/3/25 s
+    d = ds.get_dict(1, block=True)
+    _, df_type, comp, name, _ = ds.video_info(1)
+    meta = ds.video_table[df_type][comp][name]
+    fps = meta["fps"]
+    stride = ((int(fps * 2) - 1) / 3) / fps
+    times = [2 + i * stride for i in range(4)]
+    expected = get_backend("opencv").read_frames(meta["path"], times)
+    got = d["frames"]["raw"].transpose(0, 2, 3, 1)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_ffpp_pair_mode(ffpp_root, use_opencv_backend):
+    cfg = ffpp_config(ffpp_root, pair=1)
+    ds = FFPP(cfg, num_frames=4, clip_duration=2, split="train")
+    frames, *_ = ds[0]
+    assert set(frames.keys()) == {"raw", "c23"}
+
+
+def test_ffpp_contrast_collate(ffpp_root, use_opencv_backend):
+    cfg = ffpp_config(ffpp_root, contrast=1)
+    ds = FFPP(cfg, num_frames=4, clip_duration=2, split="train")
+    item = ds[0]
+    batch = ds.collate_fn([ds[0], ds[1]])
+    frames, label, mask, comps, speed, index = batch
+    assert frames.shape[0] == 4  # 2 items x 2 contrast samples x 1 comp
+    assert len(comps) == 4
+    assert label.shape == (4,)
+    # contrast pairs must contain both labels
+    assert set(label[:2].tolist()) == {0, 1}
+
+
+def test_ffpp_pack_mode(ffpp_root, use_opencv_backend):
+    cfg = ffpp_config(ffpp_root, pack=1)
+    ds = FFPP(cfg, num_frames=4, clip_duration=2, split="test")
+    assert len(ds) == len(ds.video_list)
+    frames, label, mask, speed, index = ds[0]
+    assert len(frames) == 2  # 2 clips of the 4s video
+    assert all(f.shape == (4, 3, 64, 64) for f in frames)
+
+
+def test_ffpp_ssl_fake(ffpp_root, use_opencv_backend):
+    cfg = ffpp_config(ffpp_root, contrast=1, ssl_fake=1, types=["REAL"])
+    ds = FFPP(cfg, num_frames=4, clip_duration=2, split="train")
+    found_fake_of_real = False
+    for _ in range(10):
+        frames_l, labels, *_ = ds[0]
+        if labels == [0, 1]:
+            found_fake_of_real = True
+            break
+    assert found_fake_of_real, "ssl_fake should forge positives from real clips"
+
+
+# -- CDF -----------------------------------------------------------------------
+
+def test_cdf_dataset(tmp_path, monkeypatch, use_opencv_backend):
+    monkeypatch.chdir(tmp_path)
+    root = make_cdf_tree(str(tmp_path / "cdf"))
+    cfg = CDF.get_default_config()
+    cfg.root_dir = root
+    ds = CDF(cfg, num_frames=4, clip_duration=2)
+    assert len(ds) == 12  # 6 videos x 2 clips
+    frames, label, mask, index = ds[0]
+    assert frames.shape == (4, 3, 64, 64)
+    batch = ds.collate_fn([ds[0], ds[1]])
+    assert batch[0].shape == (2, 4, 3, 64, 64)
+    assert batch[3] == ["raw", "raw"]
+
+
+# -- augmentations --------------------------------------------------------------
+
+def test_augment_replay_identical_across_frames(rng):
+    aug = augment.ClipAugmenter("normal")
+    frames = rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8)
+    replay = {}
+    out1, replay = aug(frames.copy(), replay, np.random.default_rng(0))
+    # replay on the identical input reproduces the output exactly
+    out2, _ = aug(frames.copy(), dict(replay), np.random.default_rng(999))
+    np.testing.assert_array_equal(out1, out2)
+
+
+def test_augment_replay_across_pair(rng):
+    """raw and c23 variants of a clip get the same transform (src/datasets.py:368-399)."""
+    aug = augment.ClipAugmenter("normal+frame")
+    raw = rng.integers(0, 255, (3, 32, 32, 3), dtype=np.uint8)
+    replay = {}
+    _, replay = aug(raw, replay, np.random.default_rng(1))
+    assert "video" in replay and "frame" in replay
+    assert len(replay["frame"]) == 3
+
+
+def test_elastic_transform_deterministic(rng):
+    op = augment.ElasticTransform(alpha=20, sigma=4, p=1.0)
+    params = op.sample(np.random.default_rng(5))
+    img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(op.apply(img, params), op.apply(img, params))
+    assert not np.array_equal(op.apply(img, params), img)
+
+
+# -- loader ---------------------------------------------------------------------
+
+class _ToyDataset:
+    def __len__(self):
+        return 10
+
+    def __getitem__(self, i):
+        return np.full((2, 2), i, np.int32), i
+
+
+def test_loader_basic():
+    dl = DataLoader(_ToyDataset(), batch_size=3, shuffle=False, drop_last=False)
+    batches = list(dl)
+    assert len(batches) == 4
+    assert batches[0][0].shape == (3, 2, 2)
+    assert batches[-1][0].shape == (1, 2, 2)
+
+
+def test_loader_drop_last_and_shuffle():
+    dl = DataLoader(_ToyDataset(), batch_size=3, shuffle=True, drop_last=True, seed=7)
+    b1 = [b[1].tolist() for b in dl]
+    b2 = [b[1].tolist() for b in dl]
+    assert len(b1) == 3
+    assert sorted(sum(b1, [])) != list(range(9)) or b1 != b2  # epoch reshuffle
+
+
+def test_loader_threaded_matches_sync():
+    sync = [b[1].tolist() for b in DataLoader(_ToyDataset(), batch_size=2)]
+    thr = [b[1].tolist() for b in DataLoader(_ToyDataset(), batch_size=2, num_workers=3)]
+    assert sync == thr

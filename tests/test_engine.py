@@ -1,0 +1,166 @@
+"""Engine tests: trainer loop, evaluator, callbacks, metrics, optimizer."""
+
+import numpy as np
+import pytest
+
+from dfd_clip_tpu.config import CN
+from dfd_clip_tpu.engine import Evaluator, Trainer
+from dfd_clip_tpu.engine.callbacks import (
+    cache_best_model, compute_metrics, init_metrics, update_metrics,
+)
+from dfd_clip_tpu.engine.optim import one_cycle_schedule
+from dfd_clip_tpu.runtime import MeshRuntime
+from dfd_clip_tpu.utils import metrics as metrics_lib
+
+from fixtures import ffpp_config, make_ffpp_tree, tiny_detector
+
+
+@pytest.fixture(scope="module")
+def runtime():
+    return MeshRuntime()
+
+
+@pytest.fixture
+def ffpp_root(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("DFD_VIDEO_BACKEND", "opencv")
+    return make_ffpp_tree(str(tmp_path / "ffpp"))
+
+
+def _trainer_cfg(**kw):
+    cfg = Trainer.get_default_config()
+    cfg.max_steps = 2
+    cfg.batch_size = 2
+    cfg.num_workers = 0
+    cfg.learning_rate = 1e-3
+    cfg.metrics = [CN({"name": "deepfake/ffpp", "types": ["accuracy", "roc_auc"]})]
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+# -- metrics -------------------------------------------------------------------
+
+def test_roc_auc_matches_sklearn(rng):
+    from sklearn.metrics import roc_auc_score
+
+    scores = rng.random(200)
+    labels = rng.integers(0, 2, 200)
+    probs = np.stack([1 - scores, scores], axis=1)
+    m = metrics_lib.roc_auc()
+    m.add_batch(None, probs[:100], labels[:100])
+    m.add_batch(None, probs[100:], labels[100:])
+    got = m.compute()["roc_auc"]
+    want = roc_auc_score(labels, scores)
+    assert abs(got - want) < 1e-9
+
+
+def test_accuracy_metric():
+    m = metrics_lib.accuracy()
+    m.add_batch(np.array([0, 1, 1]), None, np.array([0, 1, 0]))
+    assert m.compute()["accuracy"] == pytest.approx(2 / 3)
+
+
+def test_rmse_metric(rng):
+    probs = np.eye(5)[np.array([1, 3])]
+    m = metrics_lib.rmse()
+    m.add_batch(None, probs, np.array([1.0, 3.0]))
+    assert m.compute()["rmse"] == pytest.approx(0.0)
+
+
+# -- schedule ------------------------------------------------------------------
+
+def test_one_cycle_matches_torch_semantics():
+    sched = one_cycle_schedule(max_lr=1.0, total_steps=100)
+    assert float(sched(0)) == pytest.approx(1.0 / 25, rel=1e-3)
+    assert float(sched(30)) == pytest.approx(1.0, rel=1e-3)
+    assert float(sched(100)) < 1e-3
+
+
+# -- trainer end-to-end ---------------------------------------------------------
+
+def test_trainer_runs_and_updates(runtime, ffpp_root):
+    det = tiny_detector()
+    ds = type(
+        "DS", (), {}
+    )  # use the real FFPP dataset
+    from dfd_clip_tpu.data.datasets import FFPP
+
+    dataset = FFPP(ffpp_config(ffpp_root), num_frames=4, clip_duration=2,
+                   runtime=runtime, split="train", index=0)
+    cfg = _trainer_cfg()
+    trainer = Trainer(cfg, runtime, det, [dataset])
+
+    import jax
+
+    before = jax.tree_util.tree_map(np.asarray, trainer.trainable)
+    events = []
+    trainer.add_callback("on_batch_end", lambda t: events.append(t.steps))
+    trainer.run()
+    assert events == [1, 2]
+    after = jax.tree_util.tree_map(np.asarray, trainer.trainable)
+    diff = jax.tree_util.tree_reduce(
+        lambda acc, ab: acc + float(np.sum(np.abs(ab))),
+        jax.tree_util.tree_map(lambda a, b: a - b, before, after),
+        0.0,
+    )
+    assert diff > 0.0
+    assert all(np.isfinite(v).all() for v in trainer.batch_losses.values())
+
+
+def test_trainer_with_metrics_and_evaluator(runtime, ffpp_root):
+    from dfd_clip_tpu.data.datasets import FFPP
+
+    det = tiny_detector()
+    train_ds = FFPP(ffpp_config(ffpp_root), num_frames=4, clip_duration=2,
+                    runtime=runtime, split="train", index=0)
+    eval_ds = FFPP(ffpp_config(ffpp_root, augmentation="none"), num_frames=4,
+                   clip_duration=2, runtime=runtime, split="val", index=0)
+
+    trainer = Trainer(_trainer_cfg(max_steps=2), runtime, det, [train_ds])
+    ev_cfg = Evaluator.get_default_config()
+    ev_cfg.batch_size = 4
+    ev_cfg.metrics = [CN({"name": "deepfake/ffpp", "types": ["accuracy", "roc_auc"]})]
+    evaluator = Evaluator(ev_cfg, runtime, [eval_ds])
+
+    # metric callbacks on trainer
+    trainer.add_callback("on_training_start", init_metrics)
+    trainer.add_callback("on_batch_end", update_metrics)
+    trainer.add_callback("on_batch_end", compute_metrics, training_eval_interval=2)
+
+    # evaluator callbacks incl. best-model caching
+    evaluator.add_callback("on_evaluation_start", init_metrics)
+    evaluator.add_callback("on_batch_end", update_metrics)
+    evaluator.add_callback("on_evaluation_end", compute_metrics, training_eval_interval=1)
+    evaluator.add_callback(
+        "on_evaluation_end", cache_best_model,
+        main_metric="deepfake/ffpp/roc_auc", compare_fn="max",
+        best_model_state=None, last_model_state=None,
+    )
+
+    def eval_proxy(tr):
+        if tr.steps % 2:
+            return
+        evaluator.run(tr)
+
+    trainer.add_callback("on_batch_end", eval_proxy)
+    trainer.run()
+
+    assert evaluator.last_model_state is not None
+    assert evaluator.best_model_state is not None
+    assert any("roc_auc" in k for k in evaluator.computed_metrics)
+
+
+def test_teacher_mode(runtime, ffpp_root):
+    from dfd_clip_tpu.data.datasets import FFPP
+
+    det = tiny_detector()
+    dataset = FFPP(ffpp_config(ffpp_root), num_frames=4, clip_duration=2,
+                   runtime=runtime, split="train", index=0)
+    cfg = _trainer_cfg(max_steps=3, mode="teacher")
+    cfg.mode_params.teach_at = 1
+    cfg.mode_params.ema_ratio = 0.999
+    trainer = Trainer(cfg, runtime, det, [dataset])
+    trainer.run()
+    assert trainer.teaching
+    assert trainer.steps == 3
