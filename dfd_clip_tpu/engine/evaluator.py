@@ -44,7 +44,7 @@ class Evaluator(_Evaluator):
 
             self.dataloaders[f"{dataset.category}/{dataset.name}"] = DataLoader(
                 dataset,
-                batch_size=config.batch_size,
+                batch_size=config.batch_size * runtime.data_parallel,
                 shuffle=False,
                 num_workers=config.num_workers,
                 collate_fn=dataset.collate_fn,
@@ -145,7 +145,7 @@ class CompInvEvaluator(_Evaluator):
 
             self.dataloaders[f"{dataset.category}/{dataset.name}"] = DataLoader(
                 dataset,
-                batch_size=config.batch_size,
+                batch_size=config.batch_size * runtime.data_parallel,
                 shuffle=False,
                 num_workers=config.num_workers,
                 collate_fn=dataset.collate_fn,

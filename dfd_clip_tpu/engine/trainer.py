@@ -102,9 +102,11 @@ class Trainer(_Trainer):
         for dataset in datasets:
             from ..data.loader import DataLoader
 
+            # batch_size is per data-parallel replica (the reference's per-GPU
+            # batch, src/trainer.py:77-86); the loader emits the global batch.
             self.dataloaders[f"{dataset.category}/{dataset.name}"] = DataLoader(
                 dataset,
-                batch_size=config.batch_size,
+                batch_size=config.batch_size * runtime.data_parallel,
                 shuffle=True,
                 num_workers=config.num_workers,
                 collate_fn=dataset.collate_fn,
@@ -324,9 +326,11 @@ class CompInvTrainer(_Trainer):
         for dataset in datasets:
             from ..data.loader import DataLoader
 
+            # batch_size is per data-parallel replica (the reference's per-GPU
+            # batch, src/trainer.py:77-86); the loader emits the global batch.
             self.dataloaders[f"{dataset.category}/{dataset.name}"] = DataLoader(
                 dataset,
-                batch_size=config.batch_size,
+                batch_size=config.batch_size * runtime.data_parallel,
                 shuffle=True,
                 num_workers=config.num_workers,
                 collate_fn=dataset.collate_fn,

@@ -66,6 +66,10 @@ ARCHITECTURES = {
     "ViT-B/32": dataclasses.replace(VIT_B16, patch_size=32),
     "ViT-L/14": VIT_L14,
     "ViT-L/14@336px": VIT_L14_336,
+    # tiny tower for smoke tests / CI (not a real CLIP release)
+    "ViT-Test": ViTConfig(
+        input_resolution=32, patch_size=16, width=64, layers=3, heads=4, output_dim=32
+    ),
 }
 
 

@@ -1,0 +1,333 @@
+"""Training CLI.
+
+Mirrors the reference's entry point surface (/root/reference/main.py):
+``python main.py --cfg configs/deepfake/deepfake.yaml [--debug] [--test]``
+with the same YAML schema, class-name-reflection config defaults
+(main.py:28-110), run-dir versioning, setting.yaml persistence, and
+callback registration — on top of the TPU MeshRuntime instead of Accelerate.
+"""
+
+import argparse
+import logging
+import os
+import re
+import warnings
+from datetime import datetime, timedelta
+
+import jax
+
+from dfd_clip_tpu.config import CN
+from dfd_clip_tpu.data import FFPP, CDF, DFDC, RPPG
+from dfd_clip_tpu.engine import Trainer, CompInvTrainer, Evaluator, CompInvEvaluator
+from dfd_clip_tpu.engine.callbacks import (
+    cache_best_model, compute_metrics, end_timer, init_metrics, start_timer,
+    update_metrics, update_trackers,
+)
+from dfd_clip_tpu.models import Detector, CompInvEncoder
+from dfd_clip_tpu.models import weights as weights_lib
+from dfd_clip_tpu.runtime import MeshRuntime
+from dfd_clip_tpu.runtime.mesh import initialize_multihost
+from dfd_clip_tpu.utils.notify import send_to_telegram
+from dfd_clip_tpu.utils.tracking import Tracker
+
+PROJECT_DIR = None
+
+# class-name reflection registry (reference uses globals(); main.py:71-97)
+REGISTRY = {
+    "Detector": Detector,
+    "CompInvEncoder": CompInvEncoder,
+    "Trainer": Trainer,
+    "CompInvTrainer": CompInvTrainer,
+    "Evaluator": Evaluator,
+    "CompInvEvaluator": CompInvEvaluator,
+    "FFPP": FFPP,
+    "CDF": CDF,
+    "DFDC": DFDC,
+    "RPPG": RPPG,
+}
+
+
+def get_config(params):
+    C = CN()
+
+    # system
+    C.system = CN()
+    C.system.mixed_precision = "bf16"  # no | bf16 (fp16 maps to bf16 on TPU)
+    C.system.seed = 0
+    C.system.deterministic_training = False
+    C.system.training_eval_interval = 10
+    C.system.evaluation_interval = 10
+    C.system.seq_parallel = 1
+
+    # tracking
+    C.tracking = CN()
+    C.tracking.enabled = False
+    C.tracking.directory = "logs"
+    C.tracking.project_name = None
+    C.tracking.default_project_prefix = "version"
+    C.tracking.tool = "wandb"
+    C.tracking.main_metric = "deepfake/ffpp/roc_auc"
+    C.tracking.compare_fn = "max"
+
+    C.model = CN(new_allowed=True)
+    C.trainer = CN(new_allowed=True)
+    C.evaluator = CN(new_allowed=True)
+
+    C.data = CN()
+    C.data.num_frames = 50
+    C.data.clip_duration = 10
+    C.data.train = []
+    C.data.eval = []
+
+    if params.cfg is not None:
+        C.merge_from_file(params.cfg)
+        C.model = REGISTRY[C.model.name].get_default_config().merge_from_other_cfg(C.model)
+        C.trainer = REGISTRY[C.trainer.name].get_default_config().merge_from_other_cfg(C.trainer)
+        C.evaluator = REGISTRY[C.evaluator.name].get_default_config().merge_from_other_cfg(C.evaluator)
+        C.data.train = [
+            REGISTRY[d.name].get_default_config().merge_from_other_cfg(d)
+            for d in C.data.train
+        ]
+        C.data.eval = [
+            REGISTRY[d.name].get_default_config().merge_from_other_cfg(d)
+            for d in C.data.eval
+        ]
+
+    if params.test:
+        C.tracking.directory = "logs"
+        C.tracking.project_name = "test"
+
+    C.freeze()
+    for d_eval in C.data.eval:
+        assert "name" in d_eval
+    return C
+
+
+def register_trainer_callbacks(config, trainer, **kwargs):
+    def evaluation_proxy(trainer):
+        if trainer.steps % trainer.evaluation_interval:
+            return
+        kwargs["evaluator"].run(trainer)
+
+    def save_model(trainer):
+        evaluator = kwargs["evaluator"]
+        if getattr(evaluator, "best_model_state", None):
+            weights_lib.save_params(
+                os.path.join(PROJECT_DIR, "best_weights.pt"), evaluator.best_model_state
+            )
+        if getattr(evaluator, "last_model_state", None):
+            weights_lib.save_params(
+                os.path.join(PROJECT_DIR, "last_weights.pt"), evaluator.last_model_state
+            )
+
+    timer_events = ["training", "epoch", "batch"]
+    trainer.add_callback("on_training_start", lambda _: None,
+                         timer={evt: 0 for evt in timer_events})
+    for event in timer_events:
+        trainer.add_callback(f"on_{event}_start", start_timer)
+        trainer.add_callback(f"on_{event}_end", end_timer)
+
+    trainer.add_callback("on_batch_end", update_metrics)
+    if trainer.runtime.is_main_process:
+        trainer.add_callback("on_training_start", init_metrics)
+        trainer.add_callback("on_batch_end", compute_metrics,
+                             training_eval_interval=config.system.training_eval_interval)
+
+    if config.tracking.enabled and trainer.runtime.is_main_process:
+        trainer.add_callback("on_batch_end", update_trackers)
+        trainer.add_callback("on_training_end", save_model)
+
+    trainer.add_callback(
+        "on_batch_end",
+        lambda t: t.runtime.print(
+            f"{t.steps} | loss {t.batch_loss_info}, {t.batch_duration:.2f}s"
+        ),
+    )
+    trainer.add_callback(
+        "on_training_end",
+        lambda t: t.runtime.print(
+            f"training completed in {timedelta(seconds=t.training_duration)}"
+        ),
+    )
+
+    trainer.add_callback("on_batch_end", evaluation_proxy,
+                         evaluation_interval=config.system.evaluation_interval)
+
+
+def register_evaluator_callbacks(config, evaluator, **kwargs):
+    def clear_current_main_metrics(evaluator):
+        evaluator.current_main_metrics = []
+
+    timer_events = ["evaluation", "dataloader"]
+    evaluator.add_callback("on_evaluation_start", lambda _: None,
+                           timer={evt: 0 for evt in timer_events})
+    evaluator.add_callback("on_evaluation_start",
+                           lambda e: e.runtime.print("evaluation start"))
+    for event in timer_events:
+        evaluator.add_callback(f"on_{event}_start", start_timer)
+        evaluator.add_callback(f"on_{event}_end", end_timer)
+
+    evaluator.add_callback("on_batch_end", update_metrics)
+    if evaluator.runtime.is_main_process:
+        evaluator.add_callback("on_evaluation_start", init_metrics)
+        evaluator.add_callback("on_evaluation_end", compute_metrics,
+                               training_eval_interval=1)
+
+    if config.tracking.enabled and evaluator.runtime.is_main_process:
+        evaluator.add_callback("on_evaluation_end", update_trackers)
+        evaluator.add_callback("on_evaluation_start", clear_current_main_metrics,
+                               main_metric=config.tracking.main_metric,
+                               compare_fn=config.tracking.compare_fn,
+                               current_main_metrics=[])
+        evaluator.add_callback("on_evaluation_end", cache_best_model,
+                               best_model_state=None, last_model_state=None)
+
+    evaluator.add_callback(
+        "on_batch_end",
+        lambda e: e.runtime.print(f"{e.steps}.{e.batch_num} | loss {e.batch_loss_info}"),
+    )
+    evaluator.add_callback(
+        "on_evaluation_end",
+        lambda e: e.runtime.print(f"evaluation completed in {e.evaluation_duration:.2f}"),
+    )
+
+
+def resolve_compute_dtype(mixed_precision: str):
+    import jax.numpy as jnp
+
+    if mixed_precision in ("bf16", "fp16"):
+        return jnp.bfloat16
+    return jnp.float32
+
+
+def load_pretrained_encoder(model, config):
+    """Load converted foundation weights if a checkpoint is available."""
+    candidates = []
+    if "pretrained" in config.model and config.model.pretrained:
+        candidates.append(config.model.pretrained)
+    if config.model.foundation == "clip":
+        name = config.model.architecture.replace("/", "-").replace("@", "-")
+        candidates += [f"misc/{name}.pt", f"misc/{name}.npz"]
+    elif config.model.foundation == "dinov2":
+        candidates += ["misc/dinov2_vitb14_pretrain.pth"]
+    for c in candidates:
+        if os.path.isfile(c):
+            if config.model.foundation == "clip":
+                params, _ = weights_lib.load_clip_visual(c)
+            else:
+                params = weights_lib.load_dinov2(c, model.vit_cfg)
+            model.pretrained_encoder = params
+            logging.info("Loaded pretrained encoder weights from %s", c)
+            return
+    logging.warning(
+        "No pretrained encoder checkpoint found (%s); using random init. "
+        "Place converted weights under misc/ for real runs.", candidates
+    )
+
+
+def init_runtime(config):
+    global PROJECT_DIR
+    initialize_multihost()
+    runtime = MeshRuntime(seq_parallel=config.system.seq_parallel)
+
+    project_name = config.tracking.default_project_prefix
+    tracking_root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 config.tracking.directory)
+    if config.tracking.project_name is None:
+        version = 0
+        while os.path.isdir(os.path.join(tracking_root, f"{project_name}_{version}")):
+            version += 1
+        project_name = f"{project_name}_{version}"
+        PROJECT_DIR = os.path.join(tracking_root, project_name)
+    else:
+        project_name = re.sub("/", "_", config.tracking.project_name)
+        PROJECT_DIR = os.path.join(tracking_root, project_name,
+                                   datetime.utcnow().strftime("%m%dT%H%M"))
+
+    os.makedirs(PROJECT_DIR, exist_ok=True)
+    if runtime.is_main_process:
+        with open(os.path.join(PROJECT_DIR, "setting.yaml"), "w") as f:
+            f.write(config.dump())
+
+    tracker = Tracker(PROJECT_DIR, enabled=config.tracking.enabled, project=project_name)
+    return runtime, tracker
+
+
+def main(params):
+    config = get_config(params)
+    runtime, tracker = init_runtime(config)
+    runtime.print(config.dump())
+
+    model = REGISTRY[config.model.name](
+        config.model,
+        num_frames=config.data.num_frames,
+        compute_dtype=resolve_compute_dtype(config.system.mixed_precision),
+    )
+    load_pretrained_encoder(model, config)
+
+    category_index = {
+        cat: i for i, cat in enumerate(sorted({cfg.category for cfg in config.data.train}))
+    }
+    runtime.print("Task Indices:")
+    for k, v in category_index.items():
+        runtime.print(f"\t- {k} => {v}")
+
+    train_datasets = [
+        REGISTRY[cfg.name](
+            cfg, config.data.num_frames, config.data.clip_duration,
+            runtime=runtime, split="train",
+            index=category_index[cfg.category], seed=config.system.seed,
+        )
+        for cfg in config.data.train
+    ]
+    for ds in train_datasets:
+        runtime.print(
+            f"Training Dataset {type(ds).__name__.upper()} initialized with {len(ds)} samples\n"
+        )
+
+    eval_datasets = [
+        REGISTRY[cfg.name](
+            cfg, config.data.num_frames, config.data.clip_duration,
+            runtime=runtime, split="val",
+            index=category_index.get(cfg.category, 0), seed=config.system.seed,
+        )
+        for cfg in config.data.eval
+    ]
+    for ds in eval_datasets:
+        runtime.print(
+            f"Evaluation Dataset {type(ds).__name__.upper()} initialized with {len(ds)} samples\n"
+        )
+
+    trainer = REGISTRY[config.trainer.name](
+        config.trainer, runtime, model, train_datasets,
+        tracker=tracker, seed=config.system.seed,
+    )
+    evaluator = REGISTRY[config.evaluator.name](
+        config.evaluator, runtime, eval_datasets, tracker=tracker
+    )
+
+    register_trainer_callbacks(config, trainer, evaluator=evaluator)
+    register_evaluator_callbacks(config, evaluator)
+
+    trainer.run()
+
+    if config.tracking.enabled:
+        tracker.finish()
+        send_to_telegram(f"Training Completed, Result Location: {PROJECT_DIR}")
+    return PROJECT_DIR
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="Deepfake detector with foundation models (TPU).")
+    parser.add_argument("--cfg", type=str, default=None, help="YAML configuration file")
+    parser.add_argument("--debug", action="store_true", help="Debugging Mode")
+    parser.add_argument("--test", action="store_true", help="Testing Mode")
+    params = parser.parse_args()
+
+    if not params.debug:
+        logging.basicConfig(level="INFO")
+        warnings.filterwarnings(action="ignore")
+    else:
+        logging.basicConfig(level="DEBUG")
+
+    main(params)

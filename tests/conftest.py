@@ -6,7 +6,8 @@ logic is tested with xla_force_host_platform_device_count mesh simulation).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force (not setdefault): the harness may pre-set JAX_PLATFORMS to the TPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +16,8 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin ignores the env var; force through the config API too.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compile cache: the suite compiles many tiny programs; cache them.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
