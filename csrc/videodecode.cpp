@@ -144,6 +144,36 @@ struct Decoder {
               strides);
     return 0;
   }
+
+  // Planar YUV420 output: a raw plane copy for the yuv420p/yuvj420p sources
+  // the datasets use (no range conversion — the flag tells the device-side
+  // converter which matrix to apply); swscale fallback for other formats.
+  int to_yuv420(AVFrame* frame, unsigned char* y, unsigned char* u,
+                unsigned char* v, int* full_range) {
+    const int w = codec->width, h = codec->height;
+    const AVPixelFormat fmt = (AVPixelFormat)frame->format;
+    if (fmt == AV_PIX_FMT_YUV420P || fmt == AV_PIX_FMT_YUVJ420P) {
+      *full_range = (fmt == AV_PIX_FMT_YUVJ420P ||
+                     frame->color_range == AVCOL_RANGE_JPEG)
+                        ? 1
+                        : 0;
+      for (int r = 0; r < h; ++r)
+        std::memcpy(y + (size_t)r * w, frame->data[0] + (size_t)r * frame->linesize[0], w);
+      for (int r = 0; r < h / 2; ++r) {
+        std::memcpy(u + (size_t)r * (w / 2), frame->data[1] + (size_t)r * frame->linesize[1], w / 2);
+        std::memcpy(v + (size_t)r * (w / 2), frame->data[2] + (size_t)r * frame->linesize[2], w / 2);
+      }
+      return 0;
+    }
+    *full_range = 0;
+    sws = sws_getCachedContext(sws, w, h, fmt, w, h, AV_PIX_FMT_YUV420P,
+                               SWS_BILINEAR, nullptr, nullptr, nullptr);
+    if (!sws) return -1;
+    uint8_t* planes[3] = {y, u, v};
+    int strides[3] = {w, w / 2, w / 2};
+    sws_scale(sws, frame->data, frame->linesize, 0, h, planes, strides);
+    return 0;
+  }
 };
 
 }  // namespace
@@ -197,6 +227,47 @@ int dfd_read_frames(const char* path, const double* times, int n,
     }
     if (d.decode_until(t, frame) != 0) { av_frame_free(&frame); return -12; }
     if (d.to_rgb(frame, out + (size_t)i * frame_bytes) != 0) {
+      av_frame_free(&frame);
+      return -13;
+    }
+    av_frame_unref(frame);
+  }
+  av_frame_free(&frame);
+  return 0;
+}
+
+// YUV420-planar variant of dfd_read_frames: out_y is n*H*W, out_u/out_v are
+// n*(H/2)*(W/2). Dimensions must be even. *full_range is set to 1 for
+// JPEG/full-range sources (the device converter picks the matrix).
+int dfd_read_frames_yuv(const char* path, const double* times, int n,
+                        unsigned char* out_y, unsigned char* out_u,
+                        unsigned char* out_v, int* full_range) {
+  Decoder d;
+  int rc = d.open(path);
+  if (rc != 0) return rc;
+  const int w = d.codec->width, h = d.codec->height;
+  if (w % 2 || h % 2) return -14;
+  const size_t ybytes = (size_t)w * h;
+  const size_t cbytes = ybytes / 4;
+  AVFrame* frame = av_frame_alloc();
+  double total = d.duration();
+
+  for (int i = 0; i < n; ++i) {
+    double t = times[i];
+    if (total > 0 && t > total + kEps) { av_frame_free(&frame); return -10; }
+    if (d.last_pts < 0 || t < d.last_pts - kEps || t > d.last_pts + 2.0) {
+      if (d.seek(t) != 0) { av_frame_free(&frame); return -11; }
+    }
+    if (d.last_pts >= t - kEps && i > 0) {
+      std::memcpy(out_y + (size_t)i * ybytes, out_y + (size_t)(i - 1) * ybytes, ybytes);
+      std::memcpy(out_u + (size_t)i * cbytes, out_u + (size_t)(i - 1) * cbytes, cbytes);
+      std::memcpy(out_v + (size_t)i * cbytes, out_v + (size_t)(i - 1) * cbytes, cbytes);
+      continue;
+    }
+    if (d.decode_until(t, frame) != 0) { av_frame_free(&frame); return -12; }
+    if (d.to_yuv420(frame, out_y + (size_t)i * ybytes,
+                    out_u + (size_t)i * cbytes,
+                    out_v + (size_t)i * cbytes, full_range) != 0) {
       av_frame_free(&frame);
       return -13;
     }

@@ -50,6 +50,16 @@ class NativeVideoLib:
             ctypes.POINTER(ctypes.c_ubyte),
         ]
         self.lib.dfd_read_frames.restype = ctypes.c_int
+        self.lib.dfd_read_frames_yuv.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        self.lib.dfd_read_frames_yuv.restype = ctypes.c_int
 
     @classmethod
     def get(cls) -> "NativeVideoLib":
@@ -91,3 +101,48 @@ class NativeVideoLib:
         if rc != 0:
             raise IOError(f"native read_frames failed ({rc}): {path}")
         return out
+
+    def read_frames_yuv(self, path: str, times: List[float]):
+        """Planar YUV420 fast path: returns (y (N,H,W), u, v (N,H/2,W/2),
+        full_range). ~2x less CPU + PCIe than RGB; convert on device with
+        ops.image_ops.yuv420_to_rgb."""
+        h = ctypes.c_int()
+        w = ctypes.c_int()
+        rc = self.lib.dfd_frame_size(path.encode(), ctypes.byref(h), ctypes.byref(w))
+        if rc != 0:
+            raise IOError(f"native frame_size failed ({rc}): {path}")
+        n = len(times)
+        y = np.empty((n, h.value, w.value), np.uint8)
+        u = np.empty((n, h.value // 2, w.value // 2), np.uint8)
+        v = np.empty((n, h.value // 2, w.value // 2), np.uint8)
+        full_range = ctypes.c_int()
+        times_arr = (ctypes.c_double * n)(*times)
+        rc = self.lib.dfd_read_frames_yuv(
+            path.encode(), times_arr, n,
+            y.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            u.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            v.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.byref(full_range),
+        )
+        if rc != 0:
+            raise IOError(f"native read_frames_yuv failed ({rc}): {path}")
+        return y, u, v, bool(full_range.value)
+
+    def read_frames_yuv_into(self, path: str, times: List[float],
+                             y: np.ndarray, u: np.ndarray, v: np.ndarray) -> bool:
+        """Zero-copy variant: decode directly into caller-provided contiguous
+        uint8 buffers (y: (N,H,W), u/v: (N,H/2,W/2)). Returns full_range."""
+        n = len(times)
+        assert y.flags["C_CONTIGUOUS"] and u.flags["C_CONTIGUOUS"] and v.flags["C_CONTIGUOUS"]
+        full_range = ctypes.c_int()
+        times_arr = (ctypes.c_double * n)(*times)
+        rc = self.lib.dfd_read_frames_yuv(
+            path.encode(), times_arr, n,
+            y.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            u.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            v.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.byref(full_range),
+        )
+        if rc != 0:
+            raise IOError(f"native read_frames_yuv failed ({rc}): {path}")
+        return bool(full_range.value)

@@ -35,6 +35,34 @@ def center_crop(x: jax.Array, size: int) -> jax.Array:
     return x[..., top : top + size, left : left + size]
 
 
+def yuv420_to_rgb(y: jax.Array, u: jax.Array, v: jax.Array,
+                  full_range: bool = True) -> jax.Array:
+    """Planar YUV420 uint8 -> RGB uint8 (..., 3, H, W), on device.
+
+    The companion of the native decoder's YUV fast path: chroma is upsampled
+    2x nearest (matching swscale's default for 420->444 in the RGB path
+    closely enough for the training distribution) and converted with BT.601
+    coefficients; ``full_range`` selects the JPEG/full-range matrix.
+    """
+    f32 = jnp.float32
+    yf = y.astype(f32)
+    # nearest 2x chroma upsample
+    uu = jnp.repeat(jnp.repeat(u, 2, axis=-2), 2, axis=-1).astype(f32) - 128.0
+    vv = jnp.repeat(jnp.repeat(v, 2, axis=-2), 2, axis=-1).astype(f32) - 128.0
+    if full_range:
+        yy = yf
+        r = yy + 1.402 * vv
+        g = yy - 0.344136 * uu - 0.714136 * vv
+        b = yy + 1.772 * uu
+    else:
+        yy = (yf - 16.0) * (255.0 / 219.0)
+        r = yy + 1.596027 * vv
+        g = yy - 0.391762 * uu - 0.812968 * vv
+        b = yy + 2.017232 * uu
+    rgb = jnp.stack([r, g, b], axis=-3)  # (..., 3, H, W)
+    return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
+
+
 def resize_crop_normalize(
     x: jax.Array,
     size: int,
