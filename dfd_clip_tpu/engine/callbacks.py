@@ -119,6 +119,27 @@ def _softmax_np(x: np.ndarray) -> np.ndarray:
     return e / e.sum(axis=-1, keepdims=True)
 
 
+# -- profiling (SURVEY.md §5.1 TPU plan: jax.profiler trace windows) ------------
+
+def make_profiler_callbacks(trace_dir: str, start_step: int, end_step: int):
+    """Trace steps [start_step, end_step) into ``trace_dir`` (view with
+    tensorboard/xprof). Register the returned fn on 'on_batch_start'."""
+    import jax
+
+    state = {"active": False}
+
+    def on_batch_start(agent):
+        step = getattr(agent, "steps", 0)
+        if not state["active"] and step == start_step:
+            jax.profiler.start_trace(trace_dir)
+            state["active"] = True
+        elif state["active"] and step >= end_step:
+            jax.profiler.stop_trace()
+            state["active"] = False
+
+    return on_batch_start
+
+
 # -- tracking (reference src/callbacks/tracking.py) -----------------------------
 
 def update_trackers(agent) -> None:

@@ -55,6 +55,10 @@ class Trainer(_Trainer):
         C.mode = "normal"
         C.mode_params = CN(new_allowed=True)
         C.lr_scheduler = "one_cycle"
+        # train-state checkpointing (0 = off; dir defaults to the run dir)
+        C.checkpoint_interval = 0
+        C.checkpoint_dir = ""
+        C.checkpoint_keep = 3
         return C
 
     def __init__(self, config, runtime, model, datasets, tracker=None, seed: int = 0):
@@ -117,6 +121,60 @@ class Trainer(_Trainer):
         self._grad_fns: Dict[Any, Any] = {}
         self._apply_fn = jax.jit(self._apply_update, donate_argnums=(0, 1))
         self._ema_fn = jax.jit(self._ema_update, donate_argnums=(0,))
+
+        # checkpoint/resume
+        self.start_step = 0
+        self.checkpointer = None
+        if config.get("checkpoint_interval", 0):
+            from .checkpoint import TrainStateCheckpointer
+
+            self.checkpointer = TrainStateCheckpointer(
+                config.checkpoint_dir or "checkpoints",
+                keep=config.get("checkpoint_keep", 3),
+            )
+            restored = self.checkpointer.restore_latest(self._checkpoint_arrays())
+            if restored is not None:
+                arrays, aux = restored
+                self.trainable = runtime.replicate(arrays["trainable"])
+                # restored opt_state leaves arrive in the saved (dict) shape;
+                # rebuild the optax NamedTuple structure around them.
+                self.opt_state = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(self.opt_state),
+                    jax.tree_util.tree_leaves(runtime.replicate(arrays["opt_state"])),
+                )
+                if self.teacher is not None and arrays.get("teacher") is not None:
+                    self.teacher = runtime.replicate(arrays["teacher"])
+                self.start_step = aux["step"]
+                self.teaching = bool(aux.get("teaching", False))
+                self.host_rng = np.random.default_rng()
+                self.host_rng.bit_generator.state = aux["host_rng_state"]
+                self.dropout_keys = jax.random.wrap_key_data(
+                    jnp.asarray(arrays["dropout_keys"])
+                )
+
+    def _checkpoint_arrays(self):
+        return {
+            "trainable": self.trainable,
+            "opt_state": self.opt_state,
+            "teacher": self.teacher,
+            "dropout_keys": jax.random.key_data(self.dropout_keys)
+            if jnp.issubdtype(self.dropout_keys.dtype, jax.dtypes.prng_key)
+            else self.dropout_keys,
+        }
+
+    def _maybe_checkpoint(self):
+        interval = self.config.get("checkpoint_interval", 0)
+        if not self.checkpointer or not interval or self.steps % interval:
+            return
+        if self.runtime.is_main_process:
+            self.checkpointer.save(
+                self.steps,
+                weights_lib.to_numpy_tree(self._checkpoint_arrays()),
+                {
+                    "teaching": self.teaching,
+                    "host_rng_state": self.host_rng.bit_generator.state,
+                },
+            )
 
     # -- jitted pieces ---------------------------------------------------------
     def _apply_update(self, trainable, opt_state, grads):
@@ -218,7 +276,10 @@ class Trainer(_Trainer):
     # -- the loop (reference src/trainer.py:98-203) ------------------------------
     def run(self):
         self.trigger_callbacks("on_training_start")
-        self.steps = 0
+        self.steps = self.start_step
+        if self.steps >= self.config.max_steps:
+            self.trigger_callbacks("on_training_end")
+            return
         iterators = {name: iter(dl) for name, dl in self.dataloaders.items()}
 
         while True:
@@ -273,6 +334,7 @@ class Trainer(_Trainer):
             self.steps += 1
             if self.mode == "teacher" and not self.teaching and self.config.mode_params.teach_at < self.steps:
                 self.teaching = True
+            self._maybe_checkpoint()
 
             self.batch_loss_info = ",".join(
                 f"{np.mean(l):.6f}({n}) " for n, l in self.batch_losses.items()

@@ -58,6 +58,7 @@ def get_config(params):
     C.system.training_eval_interval = 10
     C.system.evaluation_interval = 10
     C.system.seq_parallel = 1
+    C.system.profile_steps = []  # [start, end) jax.profiler trace window
 
     # tracking
     C.tracking = CN()
@@ -298,6 +299,10 @@ def main(params):
             f"Evaluation Dataset {type(ds).__name__.upper()} initialized with {len(ds)} samples\n"
         )
 
+    if config.trainer.get("checkpoint_interval", 0) and not config.trainer.get("checkpoint_dir", ""):
+        config.trainer.defrost()
+        config.trainer.checkpoint_dir = os.path.join(PROJECT_DIR, "checkpoints")
+        config.trainer.freeze()
     trainer = REGISTRY[config.trainer.name](
         config.trainer, runtime, model, train_datasets,
         tracker=tracker, seed=config.system.seed,
@@ -308,6 +313,15 @@ def main(params):
 
     register_trainer_callbacks(config, trainer, evaluator=evaluator)
     register_evaluator_callbacks(config, evaluator)
+
+    if config.system.profile_steps:
+        from dfd_clip_tpu.engine.callbacks import make_profiler_callbacks
+
+        start, end = config.system.profile_steps
+        trainer.add_callback(
+            "on_batch_start",
+            make_profiler_callbacks(os.path.join(PROJECT_DIR, "profile"), start, end),
+        )
 
     trainer.run()
 

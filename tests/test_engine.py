@@ -164,3 +164,40 @@ def test_teacher_mode(runtime, ffpp_root):
     trainer.run()
     assert trainer.teaching
     assert trainer.steps == 3
+
+
+def test_trainer_checkpoint_resume(runtime, ffpp_root, tmp_path):
+    """Interrupted training resumes from the latest checkpoint with state."""
+    from dfd_clip_tpu.data.datasets import FFPP
+
+    ckpt_dir = str(tmp_path / "ckpts")
+
+    def build():
+        det = tiny_detector()
+        ds = FFPP(ffpp_config(ffpp_root), num_frames=4, clip_duration=2,
+                  runtime=runtime, split="train", index=0)
+        cfg = _trainer_cfg(max_steps=4)
+        cfg.checkpoint_interval = 2
+        cfg.checkpoint_dir = ckpt_dir
+        return Trainer(cfg, runtime, det, [ds])
+
+    t1 = build()
+    # run only 2 steps by lowering max_steps on the fly
+    t1.config.defrost(); t1.config.max_steps = 2; t1.config.freeze()
+    t1.run()
+    assert t1.checkpointer.list_steps() == [2]
+    import jax
+    w_after_2 = jax.tree_util.tree_map(np.asarray, t1.trainable)
+
+    t2 = build()  # restores from step 2, continues to 4
+    assert t2.start_step == 2
+    w_restored = jax.tree_util.tree_map(np.asarray, t2.trainable)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, w_after_2, w_restored)
+    t2.run()
+    assert t2.steps == 4
+    assert sorted(t2.checkpointer.list_steps()) == [2, 4]
+
+    t3 = build()  # fully trained: resume is a no-op
+    assert t3.start_step == 4
+    t3.run()
+    assert t3.steps == 4
