@@ -41,6 +41,17 @@ def dual_activation_attention(
 
     Returns: (B, Q, H, D).
     """
+    import os
+
+    if (
+        os.environ.get("DFD_ATTENTION_BACKEND") == "pallas"
+        and not attn_mode
+        and q_smax.shape[1] == 1
+    ):
+        from .pallas_decoder_attention import fused_decoder_attention
+
+        return fused_decoder_attention(q_smax, q_coda, k, v, mask)
+
     d = q_smax.shape[-1]
     scale = d ** -0.5
     f32 = jnp.float32
