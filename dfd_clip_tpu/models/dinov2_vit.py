@@ -78,11 +78,77 @@ def init_dinov2(key: jax.Array, cfg: ViTConfig) -> Params:
             "b": jnp.zeros((w,), jnp.float32),
         },
         "class_embedding": scale * jax.random.normal(keys[1], (w,), jnp.float32),
+        "mask_token": jnp.zeros((w,), jnp.float32),
         "positional_embedding": scale
         * jax.random.normal(keys[2], (cfg.num_tokens, w), jnp.float32),
         "blocks": stacked,
         "ln_post": layers.init_layer_norm(w),
     }
+
+
+def _embed(params: Params, x: jax.Array, cfg: ViTConfig, compute_dtype,
+           masks: jax.Array | None = None) -> jax.Array:
+    """Patch-embed + optional iBOT mask-token substitution + CLS + pos."""
+    x = x.astype(compute_dtype)
+    x = jnp.transpose(x, (0, 2, 3, 1))
+    w = params["conv1"]["w"].astype(compute_dtype)
+    x = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(cfg.patch_size, cfg.patch_size),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    x = x.reshape(x.shape[0], -1, cfg.width) + params["conv1"]["b"].astype(compute_dtype)
+    if masks is not None:
+        # masks: (N, P) bool — replace masked patch embeddings with the mask
+        # token (dinov2/models/vision_transformer.py:191-200 behavior)
+        mt = params["mask_token"].astype(compute_dtype)
+        x = jnp.where(masks[..., None], mt, x)
+    cls = jnp.broadcast_to(
+        params["class_embedding"].astype(compute_dtype), (x.shape[0], 1, cfg.width)
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    n_tok = x.shape[1]
+    pos = params["positional_embedding"][:n_tok].astype(compute_dtype)
+    return x + pos
+
+
+def _block(bp: Params, h: jax.Array, cfg: ViTConfig) -> jax.Array:
+    y = layers.layer_norm(bp["ln_1"], h)
+    qkv = layers.linear(bp["attn"]["in_proj"], y)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    n, t, _ = q.shape
+    q = q.reshape(n, t, cfg.heads, cfg.head_dim)
+    k = k.reshape(n, t, cfg.heads, cfg.head_dim)
+    v = v.reshape(n, t, cfg.heads, cfg.head_dim)
+    attn_out = encoder_self_attention(q, k, v).reshape(n, t, cfg.width)
+    attn_out = layers.linear(bp["attn"]["out_proj"], attn_out)
+    h = h + bp["ls1"].astype(h.dtype) * attn_out
+    y = layers.layer_norm(bp["ln_2"], h)
+    y = layers.linear(bp["mlp"]["c_fc"], y)
+    y = jax.nn.gelu(y, approximate=False)
+    y = layers.linear(bp["mlp"]["c_proj"], y)
+    return h + bp["ls2"].astype(h.dtype) * y
+
+
+def dinov2_forward(
+    params: Params,
+    x: jax.Array,
+    cfg: ViTConfig,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+    masks: jax.Array | None = None,
+) -> Dict[str, jax.Array]:
+    """Full tower forward for SSL/eval: returns normalized CLS and patch
+    tokens ({"cls": (N, W), "patch": (N, P, W)}), with optional iBOT patch
+    masking (dinov2/models/vision_transformer.py:202-244 behavior)."""
+    h = _embed(params, x, cfg, compute_dtype, masks)
+
+    def body(carry, bp):
+        return _block(bp, carry, cfg), None
+
+    h, _ = jax.lax.scan(body, h, params["blocks"])
+    h = layers.layer_norm(params["ln_post"], h)
+    return {"cls": h[:, 0].astype(jnp.float32), "patch": h[:, 1:].astype(jnp.float32)}
 
 
 def dinov2_kv(

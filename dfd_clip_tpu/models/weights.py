@@ -196,6 +196,9 @@ def convert_dinov2(sd: Dict[str, np.ndarray], cfg: ViTConfig) -> Params:
             "b": jnp.asarray(sd["patch_embed.proj.bias"]),
         },
         "class_embedding": jnp.asarray(sd["cls_token"].reshape(-1)),
+        "mask_token": jnp.asarray(
+            sd["mask_token"].reshape(-1)
+        ) if "mask_token" in sd else jnp.zeros((cfg.width,), jnp.float32),
         "positional_embedding": _interpolate_pos_embed(
             sd["pos_embed"].reshape(sd["pos_embed"].shape[-2], -1), cfg.grid
         ),

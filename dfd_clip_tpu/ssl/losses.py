@@ -1,0 +1,109 @@
+"""SSL objectives: DINO CLS loss, iBOT masked-patch loss, KoLeo regularizer.
+
+Behavioral equivalents of dinov2/loss/ (dino_clstoken_loss.py:12-113,
+ibot_patch_loss.py:17-151, koleo_loss.py:19-49). Cross-replica reductions
+(the reference's async all-reduce center updates) are jnp.mean/psum inside
+the jitted step — XLA inserts the collectives over the mesh's data axis.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def dino_loss(
+    student_logits: jax.Array,   # (n_s_crops, B, K)
+    teacher_logits: jax.Array,   # (n_t_crops, B, K)
+    center: jax.Array,           # (K,)
+    student_temp: float,
+    teacher_temp: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Soft cross-entropy between teacher (centered, sharpened) and student
+    distributions over every (teacher crop, student crop) pair with
+    teacher_crop != student_crop. Returns (loss, new_center_stats)."""
+    t_probs = jax.nn.softmax(
+        (teacher_logits - center) / teacher_temp, axis=-1
+    )  # (n_t, B, K)
+    s_logp = jax.nn.log_softmax(student_logits / student_temp, axis=-1)  # (n_s, B, K)
+
+    n_t, n_s = t_probs.shape[0], s_logp.shape[0]
+    total = 0.0
+    n_terms = 0
+    for it in range(n_t):
+        for is_ in range(n_s):
+            if it == is_:
+                continue  # same-view pairs are skipped (DINO recipe)
+            total = total - jnp.mean(
+                jnp.sum(t_probs[it] * s_logp[is_], axis=-1)
+            )
+            n_terms += 1
+    loss = total / max(n_terms, 1)
+
+    # EMA center statistics: batch mean of raw teacher logits (the caller
+    # applies the EMA update; under pjit the mean reduces over all replicas).
+    batch_center = jnp.mean(teacher_logits, axis=(0, 1))
+    return loss, batch_center
+
+
+def update_center(center: jax.Array, batch_center: jax.Array,
+                  momentum: float = 0.9) -> jax.Array:
+    return center * momentum + batch_center * (1.0 - momentum)
+
+
+def sinkhorn_knopp(teacher_logits: jax.Array, teacher_temp: jax.Array,
+                   n_iterations: int = 3) -> jax.Array:
+    """Sinkhorn-Knopp normalization alternative to centering
+    (dino_clstoken_loss.py:40-60 semantics, single-replica view)."""
+    Q = jnp.exp(teacher_logits / teacher_temp).T  # (K, B*)
+    Q = Q / jnp.sum(Q)
+    K, B = Q.shape
+
+    def body(_, Q):
+        Q = Q / jnp.sum(Q, axis=1, keepdims=True) / K
+        Q = Q / jnp.sum(Q, axis=0, keepdims=True) / B
+        return Q
+
+    Q = jax.lax.fori_loop(0, n_iterations, body, Q)
+    return (Q * B).T
+
+
+def ibot_patch_loss(
+    student_patch_logits: jax.Array,  # (B, P, K) — student on masked image
+    teacher_patch_logits: jax.Array,  # (B, P, K) — teacher on clean image
+    patch_mask: jax.Array,            # (B, P) bool, True = masked patch
+    center: jax.Array,                # (K,)
+    student_temp: float,
+    teacher_temp: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """CE between teacher and student patch distributions on masked patches
+    only, normalized by masked-patch count (ibot_patch_loss.py:84-121)."""
+    t_probs = jax.nn.softmax(
+        (teacher_patch_logits - center) / teacher_temp, axis=-1
+    )
+    s_logp = jax.nn.log_softmax(student_patch_logits / student_temp, axis=-1)
+    per_patch = -jnp.sum(t_probs * s_logp, axis=-1)  # (B, P)
+    masked = jnp.where(patch_mask, per_patch, 0.0)
+    count = jnp.maximum(jnp.sum(patch_mask), 1)
+    loss = jnp.sum(masked) / count
+
+    batch_center = jnp.sum(
+        jnp.where(patch_mask[..., None], teacher_patch_logits, 0.0), axis=(0, 1)
+    ) / count
+    return loss, batch_center
+
+
+def koleo_loss(features: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Kozachenko-Leonenko differential-entropy regularizer: -mean log of the
+    nearest-neighbor distance of L2-normalized CLS features
+    (koleo_loss.py:19-49)."""
+    f = features / (jnp.linalg.norm(features, axis=-1, keepdims=True) + eps)
+    sim = f @ f.T  # (B, B)
+    n = f.shape[0]
+    sim = sim - 2.0 * jnp.eye(n)  # exclude self
+    nn_idx = jnp.argmax(sim, axis=-1)
+    nn = f[nn_idx]
+    dist = jnp.linalg.norm(f - nn, axis=-1)
+    return -jnp.mean(jnp.log(dist + eps))

@@ -1,0 +1,233 @@
+"""SSL training loop (the equivalent of dinov2/train/train.py:135-314).
+
+One jitted train step over the mesh: student forward on masked globals +
+locals, DINO/iBOT/KoLeo losses, AdamW with layerwise decay and scheduled
+weight decay, teacher EMA, loss centering — plus the host loop with cosine
+schedules, NaN abort (train.py:274-276), periodic checkpointing, and JSONL
+metric logging.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.clip_vit import ViTConfig
+from ..models import dinov2_vit  # noqa: F401  (arch registry)
+from . import schedules as sched_lib
+from .augmentations import MultiCropAugmentation
+from .masking import BlockMaskGenerator
+from .meta_arch import SSLConfig, SSLMetaArch
+from .samplers import ShardedInfiniteSampler
+
+logger = logging.getLogger(__name__)
+
+
+class SSLTrainer:
+    @staticmethod
+    def get_default_config():
+        from ..config import CN
+
+        C = CN()
+        C.name = "SSLTrainer"
+        C.arch = "ViT-B/14"
+        C.out_dim = 65536
+        C.batch_size = 32          # per data-parallel replica
+        C.max_steps = 1000
+        C.warmup_steps = 100
+        C.freeze_last_layer_steps = 30
+        C.lr = 0.004               # scaled by sqrt(global_batch/1024)
+        C.final_lr = 1.0e-6
+        C.weight_decay = 0.04
+        C.final_weight_decay = 0.4
+        C.teacher_momentum = 0.992
+        C.final_teacher_momentum = 1.0
+        C.teacher_temp = 0.07
+        C.warmup_teacher_temp = 0.04
+        C.warmup_teacher_temp_steps = 300
+        C.n_local_crops = 8
+        C.local_size = 98
+        C.mask_ratio_min = 0.1
+        C.mask_ratio_max = 0.5
+        C.mask_sample_prob = 0.5
+        C.layerwise_decay = 0.9
+        C.checkpoint_interval = 0
+        C.checkpoint_dir = "ssl_checkpoints"
+        C.seed = 0
+        return C
+
+    def __init__(self, config, runtime, dataset, tracker=None,
+                 arch: Optional[ViTConfig] = None):
+        """dataset: map-style, __getitem__(i) -> HWC uint8 RGB image."""
+        from ..models.dinov2_vit import ARCHITECTURES
+
+        self.config = config
+        self.runtime = runtime
+        self.dataset = dataset
+        self.tracker = tracker
+        vit_cfg = arch or ARCHITECTURES[config.arch]
+
+        self.ssl_cfg = SSLConfig(
+            arch=vit_cfg,
+            out_dim=config.out_dim,
+            ibot_out_dim=config.out_dim,
+            local_size=config.local_size,
+            n_local_crops=config.n_local_crops,
+        )
+        self.meta = SSLMetaArch(self.ssl_cfg)
+        self.student, self.teacher, self.centers = self.meta.init_params(
+            jax.random.key(config.seed)
+        )
+
+        global_batch = config.batch_size * runtime.data_parallel
+        lr = sched_lib.sqrt_lr_scaling(config.lr, global_batch)
+        self.lr_schedule = sched_lib.cosine_with_warmup(
+            lr, config.final_lr, config.max_steps, config.warmup_steps
+        )
+        self.wd_schedule = sched_lib.cosine_with_warmup(
+            config.weight_decay, config.final_weight_decay, config.max_steps
+        )
+        self.momentum_schedule = sched_lib.cosine_with_warmup(
+            config.teacher_momentum, config.final_teacher_momentum, config.max_steps
+        )
+        self.temp_schedule = sched_lib.cosine_with_warmup(
+            config.teacher_temp, config.teacher_temp, config.max_steps,
+            warmup_steps=config.warmup_teacher_temp_steps,
+            start=config.warmup_teacher_temp,
+        )
+
+        self.optimizer = sched_lib.build_ssl_optimizer(
+            self.student, self.lr_schedule, self.wd_schedule,
+            n_layers=vit_cfg.layers, layerwise_decay=config.layerwise_decay,
+        )
+        self.opt_state = self.optimizer.init(self.student)
+
+        self.student = runtime.replicate(self.student)
+        self.teacher = runtime.replicate(self.teacher)
+        self.centers = runtime.replicate(self.centers)
+        self.opt_state = runtime.replicate(self.opt_state)
+
+        self.augment = MultiCropAugmentation(
+            global_size=vit_cfg.input_resolution, local_size=config.local_size,
+            n_local=config.n_local_crops,
+        )
+        self.mask_gen = BlockMaskGenerator(
+            vit_cfg.grid, config.mask_ratio_min, config.mask_ratio_max
+        )
+        self.host_rng = np.random.default_rng(config.seed + runtime.process_index)
+
+        meta = self.meta
+
+        def train_step(student, teacher, centers, opt_state,
+                       global_crops, local_crops, patch_masks, step):
+            temp = self.temp_schedule(step)
+
+            def loss_fn(s):
+                return meta.forward_loss(
+                    s, teacher, centers, global_crops, local_crops,
+                    patch_masks, temp,
+                )
+
+            grads, (metrics, new_centers) = jax.grad(loss_fn, has_aux=True)(student)
+            updates, opt_state2 = self.optimizer.update(grads, opt_state, student)
+            student2 = optax.apply_updates(student, updates)
+            m = self.momentum_schedule(step)
+            teacher2 = meta.ema_update(teacher, student2, m)
+            return student2, teacher2, new_centers, opt_state2, metrics
+
+        self._step_fn = jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
+
+        self.checkpointer = None
+        self.start_step = 0
+        if config.checkpoint_interval:
+            from ..engine.checkpoint import TrainStateCheckpointer
+
+            self.checkpointer = TrainStateCheckpointer(config.checkpoint_dir)
+            restored = self.checkpointer.restore_latest(self._arrays())
+            if restored is not None:
+                arrays, aux = restored
+                self.student = runtime.replicate(arrays["student"])
+                self.teacher = runtime.replicate(arrays["teacher"])
+                self.centers = runtime.replicate(arrays["centers"])
+                self.opt_state = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(self.opt_state),
+                    jax.tree_util.tree_leaves(runtime.replicate(arrays["opt_state"])),
+                )
+                self.start_step = aux["step"]
+
+    def _arrays(self):
+        return {
+            "student": self.student,
+            "teacher": self.teacher,
+            "centers": self.centers,
+            "opt_state": self.opt_state,
+        }
+
+    def _next_batch(self, batch_size: int):
+        """Host side: sample images, multi-crop augment, block masks."""
+        n = len(self.dataset)
+        idx = [next(self._sampler_iter) % n for _ in range(batch_size)]
+        globals_, locals_ = [], []
+        for i in idx:
+            crops = self.augment(self.dataset[i], self.host_rng)
+            globals_.append(crops["global"])
+            locals_.append(crops["local"])
+        g = np.stack([np.stack([s[c] for s in globals_]) for c in range(2)])
+        l = None
+        if self.config.n_local_crops:
+            l = np.stack([
+                np.stack([s[c] for s in locals_])
+                for c in range(self.config.n_local_crops)
+            ])
+        masks = np.stack([
+            self.mask_gen.batch_masks(batch_size, self.config.mask_sample_prob,
+                                      self.host_rng)
+            for _ in range(2)
+        ])  # (2, B, P)
+        return g, l, masks
+
+    def run(self) -> Dict[str, float]:
+        cfg = self.config
+        batch = cfg.batch_size * self.runtime.data_parallel
+        self._sampler_iter = iter(
+            ShardedInfiniteSampler(
+                max(len(self.dataset), 1), seed=cfg.seed,
+                shard_index=self.runtime.process_index,
+                num_shards=self.runtime.num_processes,
+            )
+        )
+        last_metrics: Dict[str, float] = {}
+        for step in range(self.start_step, cfg.max_steps):
+            g, l, masks = self._next_batch(batch)
+            g_d = jax.device_put(g)  # (2, B, ...) — batch axis is dim 1
+            l_d = jax.device_put(l) if l is not None else None
+            m_d = jax.device_put(masks)
+            (self.student, self.teacher, self.centers, self.opt_state,
+             metrics) = self._step_fn(
+                self.student, self.teacher, self.centers, self.opt_state,
+                g_d, l_d, m_d, jnp.asarray(step, jnp.float32),
+            )
+            last_metrics = {k: float(v) for k, v in metrics.items()}
+            if not np.isfinite(last_metrics["total"]):
+                raise FloatingPointError(
+                    f"NaN/Inf loss at step {step}: {last_metrics}"
+                )
+            if self.tracker is not None and step % 10 == 0:
+                self.tracker.log({f"ssl/{k}": v for k, v in last_metrics.items()},
+                                 step=step)
+            if (self.checkpointer and cfg.checkpoint_interval
+                    and (step + 1) % cfg.checkpoint_interval == 0
+                    and self.runtime.is_main_process):
+                from ..models import weights as weights_lib
+
+                self.checkpointer.save(
+                    step + 1, weights_lib.to_numpy_tree(self._arrays()), {}
+                )
+            if step % 10 == 0:
+                self.runtime.print(f"ssl step {step}: {last_metrics}")
+        return last_metrics
