@@ -41,6 +41,10 @@ ARCHITECTURES = {
     "ViT-B/16": DINOV2_B14,  # reference configs keep this string for dinov2
     "ViT-B/14": DINOV2_B14,
     "ViT-L/14": DINOV2_L14,
+    # tiny tower for smoke tests / CI
+    "ViT-Test": ViTConfig(
+        input_resolution=28, patch_size=14, width=32, layers=2, heads=2, output_dim=32
+    ),
 }
 
 
