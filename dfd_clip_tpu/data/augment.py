@@ -116,6 +116,29 @@ class ImageCompression(Op):
         return cv2.imdecode(enc, cv2.IMREAD_COLOR)[..., ::-1]
 
 
+class RandomDownScale(Op):
+    """Downscale-then-restore quality degradation (reference
+    src/datasets.py:196-224 — defined there but disabled in the default
+    pipeline; available here for ablations)."""
+
+    name = "downscale"
+
+    def __init__(self, ratio_list=(2, 2), p: float = 0.3):
+        super().__init__(p)
+        self.ratio_list = list(ratio_list)
+
+    def _sample_params(self, rng):
+        return {"ratio": float(self.ratio_list[int(rng.integers(0, len(self.ratio_list)))])}
+
+    def apply(self, img, params):
+        import cv2
+
+        h, w = img.shape[:2]
+        r = params["ratio"]
+        small = cv2.resize(img, (int(w / r), int(h / r)), interpolation=cv2.INTER_NEAREST)
+        return cv2.resize(small, (w, h), interpolation=cv2.INTER_LINEAR)
+
+
 class HorizontalFlip(Op):
     name = "hflip"
 

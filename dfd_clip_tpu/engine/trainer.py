@@ -261,7 +261,10 @@ class Trainer(_Trainer):
         return patch_indices, triplet_indices
 
     def _prepare_batch(self, batch):
-        """Collated numpy batch -> device arrays sharded on the data axis."""
+        """Collated numpy batch -> device arrays: batch axis over 'data',
+        frame axis over 'seq' when sequence parallelism is on."""
+        from jax.sharding import PartitionSpec as P
+
         frames, label, mask, comps, speed, index = batch
         comp_is_raw = np.asarray([c == "raw" for c in comps])
         arrays = {
@@ -271,7 +274,13 @@ class Trainer(_Trainer):
             "comp_is_raw": comp_is_raw,
             "speed": np.asarray(speed, np.float32),
         }
-        return self.runtime.shard_batch(arrays), int(np.asarray(index).reshape(-1)[0])
+        specs = None
+        if self.runtime.seq_parallel > 1 and arrays["x"].shape[1] % self.runtime.seq_parallel == 0:
+            specs = {"x": P("data", "seq")}
+        return (
+            self.runtime.shard_batch(arrays, specs),
+            int(np.asarray(index).reshape(-1)[0]),
+        )
 
     # -- the loop (reference src/trainer.py:98-203) ------------------------------
     def run(self):

@@ -39,10 +39,12 @@ def initialize_multihost() -> None:
     """Bootstrap multi-host JAX from cluster env vars when present.
 
     Replaces the reference's SLURM/torchrun NCCL bootstrap
-    (/root/reference/dinov2/distributed/__init__.py:152-237).
+    (/root/reference/dinov2/distributed/__init__.py:152-237); see
+    runtime/launch.py for the cluster-detection logic.
     """
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    from .launch import initialize
+
+    initialize()
 
 
 class MeshRuntime:
@@ -96,10 +98,24 @@ class MeshRuntime:
     def replicated(self) -> NamedSharding:
         return self.sharding()
 
-    def shard_batch(self, tree: Any) -> Any:
-        """Place a host batch on the mesh, sharded on the leading axis."""
-        sh = self.batch_sharding
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    def shard_batch(self, tree: Any, specs: Optional[dict] = None) -> Any:
+        """Place a host batch on the mesh, sharded on the leading axis.
+
+        ``specs`` optionally overrides the PartitionSpec per dict key — e.g.
+        ``{"x": P("data", "seq")}`` shards a clip batch's frame axis over the
+        sequence-parallel mesh axis (the frozen encoder is embarrassingly
+        parallel over frames, SURVEY.md §5.7).
+        """
+        default = self.batch_sharding
+
+        def put(key, x):
+            if specs and key in specs:
+                return jax.device_put(x, NamedSharding(self.mesh, specs[key]))
+            return jax.device_put(x, default)
+
+        if isinstance(tree, dict):
+            return {k: put(k, v) for k, v in tree.items()}
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, default), tree)
 
     def replicate(self, tree: Any) -> Any:
         sh = self.replicated

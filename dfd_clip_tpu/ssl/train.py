@@ -56,6 +56,7 @@ class SSLTrainer:
         C.mask_ratio_max = 0.5
         C.mask_sample_prob = 0.5
         C.layerwise_decay = 0.9
+        C.fsdp = 0  # shard params/opt state over the data axis (ZeRO-3 analog)
         C.checkpoint_interval = 0
         C.checkpoint_dir = "ssl_checkpoints"
         C.seed = 0
@@ -107,10 +108,16 @@ class SSLTrainer:
         )
         self.opt_state = self.optimizer.init(self.student)
 
-        self.student = runtime.replicate(self.student)
-        self.teacher = runtime.replicate(self.teacher)
+        # Parameter placement: replicated, or FSDP-style sharded storage —
+        # leaves whose leading dim divides the data axis are laid out
+        # P('data'); XLA all-gathers at use and keeps optimizer state sharded
+        # (the TPU analog of the reference's FULL_SHARD FSDP,
+        # dinov2/fsdp/__init__.py:23-55).
+        place = self._shard_params if config.get("fsdp", 0) else runtime.replicate
+        self.student = place(self.student)
+        self.teacher = place(self.teacher)
         self.centers = runtime.replicate(self.centers)
-        self.opt_state = runtime.replicate(self.opt_state)
+        self.opt_state = place(self.opt_state)
 
         self.augment = MultiCropAugmentation(
             global_size=vit_cfg.input_resolution, local_size=config.local_size,
@@ -159,6 +166,20 @@ class SSLTrainer:
                     jax.tree_util.tree_leaves(runtime.replicate(arrays["opt_state"])),
                 )
                 self.start_step = aux["step"]
+
+    def _shard_params(self, tree):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = self.runtime.data_parallel
+        mesh = self.runtime.mesh
+
+        def put(x):
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % dp == 0 and x.shape[0] >= dp:
+                return jax.device_put(x, NamedSharding(mesh, P("data")))
+            return jax.device_put(x, NamedSharding(mesh, P()))
+
+        return jax.tree_util.tree_map(put, tree)
 
     def _arrays(self):
         return {

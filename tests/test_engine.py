@@ -201,3 +201,18 @@ def test_trainer_checkpoint_resume(runtime, ffpp_root, tmp_path):
     assert t3.start_step == 4
     t3.run()
     assert t3.steps == 4
+
+
+def test_trainer_with_sequence_parallelism(ffpp_root):
+    """dp x sp mesh: batch on 'data', frames on 'seq'; one step trains."""
+    from dfd_clip_tpu.data.datasets import FFPP
+
+    sp_runtime = MeshRuntime(seq_parallel=2)
+    assert sp_runtime.seq_parallel == 2 and sp_runtime.data_parallel == 4
+    det = tiny_detector()
+    ds = FFPP(ffpp_config(ffpp_root), num_frames=4, clip_duration=2,
+              runtime=sp_runtime, split="train", index=0)
+    trainer = Trainer(_trainer_cfg(max_steps=1, batch_size=2), sp_runtime, det, [ds])
+    trainer.run()
+    assert trainer.steps == 1
+    assert all(np.isfinite(v).all() for v in trainer.batch_losses.values())

@@ -218,3 +218,30 @@ def test_extract_features():
                              compute_dtype=jnp.float32)
     assert feats.shape == (10, TINY_ARCH.width)
     assert np.isfinite(feats).all()
+
+
+def test_ssl_trainer_fsdp_sharding(tmp_path):
+    """FSDP-style param sharding: leaves laid out over the data axis."""
+    from dfd_clip_tpu.ssl.train import SSLTrainer
+
+    runtime = MeshRuntime()
+    cfg = SSLTrainer.get_default_config()
+    cfg.batch_size = 1
+    cfg.max_steps = 1
+    cfg.out_dim = 64
+    cfg.n_local_crops = 0
+    cfg.local_size = 28
+    cfg.warmup_steps = 1
+    cfg.warmup_teacher_temp_steps = 1
+    cfg.fsdp = 1
+
+    trainer = SSLTrainer(cfg, runtime, SyntheticImages(size=64), arch=TINY_ARCH)
+    # the stacked block qkv weight has leading dim = n_layers (2): replicated;
+    # the dino head hidden (2048-dim rows)... check at least one sharded leaf
+    shardings = jax.tree_util.tree_map(
+        lambda x: str(getattr(x, "sharding", None)), trainer.student
+    )
+    flat = jax.tree_util.tree_leaves(shardings)
+    assert any("'data'" in s for s in flat), flat[:5]
+    metrics = trainer.run()
+    assert np.isfinite(metrics["total"])
