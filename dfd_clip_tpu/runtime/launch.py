@@ -57,10 +57,15 @@ def initialize(coordinator_address: Optional[str] = None,
             process_id = process_id or s["process_id"]
     if coordinator_address is None:
         # TPU pods: jax.distributed.initialize() discovers everything itself
-        # when run under the TPU runtime with multiple workers.
+        # when run under the TPU runtime with multiple workers. Single-host
+        # environments that merely look pod-like (tunneled chips) fail the
+        # discovery — treat that as single-process.
         if os.environ.get("TPU_WORKER_HOSTNAMES"):
-            jax.distributed.initialize()
-            return True
+            try:
+                jax.distributed.initialize()
+                return True
+            except Exception as e:
+                logger.info("single-process run (pod discovery failed: %s)", e)
         return False
 
     jax.distributed.initialize(
