@@ -303,7 +303,15 @@ class Trainer(_Trainer):
                     batch = next(iterators[name])
                 except StopIteration:
                     iterators[name] = iter(self.dataloaders[name])
-                    batch = next(iterators[name])
+                    try:
+                        batch = next(iterators[name])
+                    except StopIteration:
+                        raise RuntimeError(
+                            f"dataloader '{name}' yields no batches: dataset has "
+                            f"{len(self.dataloaders[name].dataset)} samples but the "
+                            f"global batch is {self.dataloaders[name].batch_size} "
+                            "(batch_size x data_parallel) with drop_last"
+                        ) from None
 
                 device_batch, task_index = self._prepare_batch(batch)
                 bsz = device_batch["x"].shape[0]

@@ -64,15 +64,24 @@ def load_adapter_checkpoint(path: str, template: Params) -> Params:
 # -- torch state-dict loading -----------------------------------------------------
 
 def _load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Read a torch checkpoint into numpy without keeping torch tensors around."""
+    """Read a torch checkpoint into numpy without keeping torch tensors around.
+
+    Handles plain state_dicts, wrapped {'state_dict': ...} checkpoints, and
+    TorchScript (jit) archives — the format OpenAI ships CLIP in
+    (reference src/clip/clip.py:120-138 falls back the same way)."""
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    except Exception:
+        obj = torch.jit.load(path, map_location="cpu")
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
     if isinstance(obj, dict) and "state_dict" in obj and isinstance(obj["state_dict"], dict):
         obj = obj["state_dict"]
-    return {k: v.float().numpy() for k, v in obj.items() if hasattr(v, "numpy")}
+    return {
+        k: v.detach().float().numpy() for k, v in obj.items() if hasattr(v, "numpy")
+    }
 
 
 def _lin(sd: Dict[str, np.ndarray], prefix: str) -> Params:
@@ -132,7 +141,7 @@ def infer_clip_vit_config(sd: Dict[str, np.ndarray]) -> ViTConfig:
     conv = sd[f"{pre}conv1.weight"]  # (width, 3, patch, patch)
     width, _, patch, _ = conv.shape
     n_layers = len(
-        {k.split(".")[2 if pre else 1] for k in sd if f"{pre}transformer.resblocks" in k}
+        {k.split(".")[3 if pre else 2] for k in sd if f"{pre}transformer.resblocks" in k}
     )
     grid = int(round((sd[f"{pre}positional_embedding"].shape[0] - 1) ** 0.5))
     return ViTConfig(
