@@ -228,10 +228,23 @@ class CompInvEncoder:
     def partition_params(self, params: Params) -> Tuple[Params, Params]:
         return {"adapter": params["adapter"]}, {"encoder": params["encoder"]}
 
+    def preprocess(self, x: jax.Array) -> jax.Array:
+        """uint8 frames -> resized, CLIP-normalized float on device (same
+        transform as the Detector; reference src/models.py:1048-1059)."""
+        from ..ops import image_ops
+        from .detector import CLIP_MEAN, CLIP_STD
+
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x
+        return image_ops.resize_crop_normalize(
+            x, self.vit_cfg.input_resolution, CLIP_MEAN, CLIP_STD
+        )
+
     def predict(self, params: Params, x: jax.Array, *, train: bool = False,
                 rng: Optional[jax.Array] = None):
         from . import clip_vit
 
+        x = self.preprocess(x)
         b, t = x.shape[:2]
         kv_raw = clip_vit.clip_vision_kv(
             params["encoder"], x.reshape((b * t,) + x.shape[2:]),
