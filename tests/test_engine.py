@@ -216,3 +216,41 @@ def test_trainer_with_sequence_parallelism(ffpp_root):
     trainer.run()
     assert trainer.steps == 1
     assert all(np.isfinite(v).all() for v in trainer.batch_losses.values())
+
+
+def test_smoothed_value_and_metric_logger(capsys):
+    from dfd_clip_tpu.utils.logging import MetricLogger, SmoothedValue
+
+    sv = SmoothedValue(window_size=3)
+    for v in (1.0, 2.0, 3.0, 4.0):
+        sv.update(v)
+    assert sv.median == 3.0
+    assert sv.avg == pytest.approx(3.0)
+    assert sv.global_avg == pytest.approx(2.5)
+
+    lines = []
+    ml = MetricLogger(output=lines.append)
+    for i in ml.log_every(range(5), print_freq=2, header="test"):
+        ml.update(loss=float(i))
+    assert any("eta" in l for l in lines)
+    assert any("loss" in l for l in lines)
+
+
+def test_report_tool(tmp_path):
+    import json
+    import sys
+    from os import path
+
+    sys.path.insert(0, path.join(path.dirname(path.dirname(path.abspath(__file__))), "tools"))
+    import report as report_tool
+
+    for run, auc in (("DF", 0.99), ("F2F", 0.97)):
+        d = tmp_path / run
+        d.mkdir()
+        (d / "report_0101T0000_best_video.json").write_text(
+            json.dumps({"FFPP": {"accuracy": 0.9, "roc_auc": auc}})
+        )
+    rows = report_tool.collect([str(tmp_path / "DF"), str(tmp_path / "F2F")],
+                               "best", "video")
+    assert len(rows) == 2
+    assert {r["run"] for r in rows} == {"DF", "F2F"}
