@@ -93,10 +93,11 @@ class Evaluator(_Evaluator):
                 y = np.asarray(label)
                 m = np.asarray(mask)
 
-                # pad ragged tail to a full data-parallel batch
+                # pad the ragged tail to the full global batch shape so the
+                # eval step compiles at most twice (full + padded-full)
                 n = x.shape[0]
-                target = self.config.batch_size if n < self.config.batch_size else n
-                target = ((target + dp - 1) // dp) * dp
+                full = self.config.batch_size * dp
+                target = full if n < full else ((n + dp - 1) // dp) * dp
                 pad = target - n
                 if pad:
                     x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])

@@ -21,6 +21,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import layers
 from ..ops.attention import encoder_self_attention
@@ -146,23 +147,27 @@ def clip_vision_kv(
     x: jax.Array,
     cfg: ViTConfig,
     compute_dtype: jnp.dtype = jnp.bfloat16,
+    keep_layers: Optional[tuple] = None,
 ) -> Dict[str, jax.Array]:
     """Run the frozen tower, exporting per-layer head-split K and V.
 
     Returns {"k": (L, N, T, H, D), "v": (L, N, T, H, D)} where T includes the
-    CLS token (callers drop index 0, cf. src/models.py:505-507).
+    CLS token (callers drop index 0, cf. src/models.py:505-507). With
+    ``keep_layers`` (a static tuple of layer indices) only those layers' K/V
+    are written — the scan scatters each kept layer into a pre-sized
+    accumulator instead of materializing all 12 layers and indexing after,
+    halving the K/V HBM footprint/traffic for the canonical keep-6 config.
 
     K/V are the raw in-projection outputs before attention/out-proj — the
     exact export point of /root/reference/src/clip/model.py:185-199.
     """
     h = embed_patches(params, x, cfg, compute_dtype)
+    n, t = h.shape[0], h.shape[1]
 
-    def block_fn(carry: jax.Array, bp: Params):
-        x = carry
+    def block_math(x: jax.Array, bp: Params):
         y = layers.layer_norm(bp["ln_1"], x)
         qkv = layers.linear(bp["attn"]["in_proj"], y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        n, t, _ = q.shape
         q = q.reshape(n, t, cfg.heads, cfg.head_dim)
         k = k.reshape(n, t, cfg.heads, cfg.head_dim)
         v = v.reshape(n, t, cfg.heads, cfg.head_dim)
@@ -173,8 +178,46 @@ def clip_vision_kv(
         y = layers.linear(bp["mlp"]["c_fc"], y)
         y = layers.quick_gelu(y)
         y = layers.linear(bp["mlp"]["c_proj"], y)
-        x = x + y
-        return x, {"k": k, "v": v}
+        return x + y, k, v
 
-    _, kvs = jax.lax.scan(block_fn, h, params["blocks"])
+    if keep_layers is None:
+        def block_fn(carry, bp):
+            x2, k, v = block_math(carry, bp)
+            return x2, {"k": k, "v": v}
+
+        _, kvs = jax.lax.scan(block_fn, h, params["blocks"])
+        return kvs
+
+    nsel = len(keep_layers)
+    # static per-layer scatter plan: destination slot (or 0) + keep flag
+    dest = np.zeros((cfg.layers,), np.int32)
+    keep = np.zeros((cfg.layers,), bool)
+    for slot, layer in enumerate(keep_layers):
+        dest[layer] = slot
+        keep[layer] = True
+
+    acc_shape = (nsel, n, t, cfg.heads, cfg.head_dim)
+    acc0 = {
+        "k": jnp.zeros(acc_shape, compute_dtype),
+        "v": jnp.zeros(acc_shape, compute_dtype),
+    }
+
+    def block_fn(carry, xs):
+        x, acc = carry
+        bp, d, kp = xs
+        x2, k, v = block_math(x, bp)
+
+        def write(a):
+            return {
+                "k": jax.lax.dynamic_update_index_in_dim(a["k"], k.astype(compute_dtype), d, 0),
+                "v": jax.lax.dynamic_update_index_in_dim(a["v"], v.astype(compute_dtype), d, 0),
+            }
+
+        acc = jax.lax.cond(kp, write, lambda a: a, acc)
+        return (x2, acc), None
+
+    (_, kvs), _ = jax.lax.scan(
+        block_fn, (h, acc0),
+        (params["blocks"], jnp.asarray(dest), jnp.asarray(keep)),
+    )
     return kvs

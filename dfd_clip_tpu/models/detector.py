@@ -263,8 +263,10 @@ class Detector:
         b, t = x.shape[:2]
         frames = x.reshape((b * t,) + x.shape[2:])
         if self.foundation == "clip":
+            # only the kept layers' K/V are materialized (scatter-in-scan)
             kvs = clip_vit.clip_vision_kv(
-                params["encoder"], frames, self.vit_cfg, self.compute_dtype
+                params["encoder"], frames, self.vit_cfg, self.compute_dtype,
+                keep_layers=tuple(self.layer_indices),
             )
         else:
             from . import dinov2_vit
@@ -272,10 +274,11 @@ class Detector:
             kvs = dinov2_vit.dinov2_kv(
                 params["encoder"], frames, self.vit_cfg, self.compute_dtype
             )
-        sel = np.asarray(self.layer_indices)
+            sel = np.asarray(self.layer_indices)
+            kvs = {s: kvs[s][sel] for s in ("k", "v")}
         out = {}
         for s in ("k", "v"):
-            feats = kvs[s][sel][:, :, 1:]  # keep layers, drop CLS token
+            feats = kvs[s][:, :, 1:]  # drop CLS token
             nsel, _, p, h, d = feats.shape
             out[s] = jax.lax.stop_gradient(feats.reshape(nsel, b, t, p, h, d))
         return out
