@@ -15,3 +15,17 @@ if _platforms:
         jax.config.update("jax_platforms", _platforms)
     except Exception:
         pass
+
+# Persistent XLA compilation cache (first flagship compile is ~5 min on TPU;
+# cached restarts skip it). Opt out with JAX_COMPILATION_CACHE_DIR="".
+if os.environ.get("JAX_COMPILATION_CACHE_DIR") is None:
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/dfd-clip/jax"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass

@@ -116,10 +116,12 @@ def register_trainer_callbacks(config, trainer, **kwargs):
             weights_lib.save_params(
                 os.path.join(PROJECT_DIR, "best_weights.pt"), evaluator.best_model_state
             )
-        if getattr(evaluator, "last_model_state", None):
-            weights_lib.save_params(
-                os.path.join(PROJECT_DIR, "last_weights.pt"), evaluator.last_model_state
-            )
+        # Always persist final weights: the reference writes nothing at all
+        # when no evaluation ever ran (evaluation_interval > max_steps).
+        last = getattr(evaluator, "last_model_state", None) or trainer.snapshot_model_state()
+        weights_lib.save_params(os.path.join(PROJECT_DIR, "last_weights.pt"), last)
+        if not getattr(evaluator, "best_model_state", None):
+            weights_lib.save_params(os.path.join(PROJECT_DIR, "best_weights.pt"), last)
 
     timer_events = ["training", "epoch", "batch"]
     trainer.add_callback("on_training_start", lambda _: None,
