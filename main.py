@@ -215,10 +215,22 @@ def load_pretrained_encoder(model, config):
         candidates += ["misc/dinov2_vitb14_pretrain.pth"]
     for c in candidates:
         if os.path.isfile(c):
-            if config.model.foundation == "clip":
-                params, _ = weights_lib.load_clip_visual(c)
-            else:
-                params = weights_lib.load_dinov2(c, model.vit_cfg)
+            params = None
+            try:
+                # framework-native checkpoint (e.g. ssl_train.py's
+                # teacher_backbone.pt) — a pickled numpy pytree
+                state = weights_lib.load_params(c)
+                if isinstance(state, dict):
+                    tree = state.get("backbone", state)
+                    if isinstance(tree, dict) and "blocks" in tree:
+                        params = jax.tree_util.tree_map(lambda x: x, tree)
+            except Exception:
+                params = None
+            if params is None:
+                if config.model.foundation == "clip":
+                    params, _ = weights_lib.load_clip_visual(c)
+                else:
+                    params = weights_lib.load_dinov2(c, model.vit_cfg)
             model.pretrained_encoder = params
             logging.info("Loaded pretrained encoder weights from %s", c)
             return

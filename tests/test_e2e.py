@@ -124,3 +124,72 @@ def test_main_then_inference(e2e_env):
     args.modality = "clip"
     report2 = inf_mod.main(args)
     assert "FFPP" in report2
+
+
+def test_ssl_backbone_feeds_detector(e2e_env):
+    """An ssl_train.py teacher backbone loads as the Detector's dinov2
+    encoder via model.pretrained (the SSL -> supervised loop the reference
+    never closes)."""
+    import numpy as np
+
+    import main as main_mod
+    from dfd_clip_tpu.config import CN
+    from dfd_clip_tpu.models import weights as weights_lib
+    from dfd_clip_tpu.models.detector import Detector
+    from dfd_clip_tpu.models.dinov2_vit import ARCHITECTURES, init_dinov2
+    import jax
+
+    tmp_path, _ = e2e_env
+    arch = ARCHITECTURES["ViT-Test"]
+    backbone = init_dinov2(jax.random.key(7), arch)
+    ckpt = str(tmp_path / "teacher_backbone.pt")
+    weights_lib.save_params(ckpt, {"backbone": weights_lib.to_numpy_tree(backbone)})
+
+    cfg = Detector.get_default_config()
+    cfg.merge_from_other_cfg({
+        "foundation": "dinov2", "architecture": "ViT-Test",
+        "decode_mode": "index", "decode_indices": [0, 1],
+        "out_dim": [2], "losses": ["auc_roc"], "pretrained": ckpt,
+    })
+    det = Detector(cfg, num_frames=4)
+    wrapper = CN(new_allowed=True)
+    wrapper.model = cfg
+    main_mod.load_pretrained_encoder(det, wrapper)
+    assert det.pretrained_encoder is not None
+    np.testing.assert_array_equal(
+        np.asarray(det.pretrained_encoder["class_embedding"]),
+        np.asarray(backbone["class_embedding"]),
+    )
+
+
+def test_training_is_deterministic(e2e_env):
+    """Two identical runs produce bit-identical losses (XLA determinism +
+    threaded PRNG keys; replaces the reference's cudnn/cublas knobs)."""
+    import numpy as np
+
+    from dfd_clip_tpu.data.datasets import FFPP
+    from dfd_clip_tpu.engine import Trainer
+    from dfd_clip_tpu.runtime import MeshRuntime
+    from fixtures import ffpp_config, tiny_detector
+
+    _, ffpp_root = e2e_env
+    runtime = MeshRuntime()
+
+    def run_once():
+        det = tiny_detector()
+        ds = FFPP(ffpp_config(ffpp_root), num_frames=4, clip_duration=2,
+                  runtime=runtime, split="train", index=0, seed=0)
+        cfg = Trainer.get_default_config()
+        cfg.max_steps = 2
+        cfg.batch_size = 2 if runtime.data_parallel == 1 else 1
+        cfg.num_workers = 0
+        tr = Trainer(cfg, runtime, det, [ds], seed=0)
+        losses = []
+        tr.add_callback("on_batch_end",
+                        lambda t: losses.append(np.asarray(t.batch_losses["deepfake/ffpp"])))
+        tr.run()
+        return losses
+
+    a, b = run_once(), run_once()
+    for la, lb in zip(a, b):
+        np.testing.assert_array_equal(la, lb)
