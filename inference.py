@@ -165,7 +165,7 @@ def main(args):
                 "roc_auc": roc_auc,
             }
 
-    timestamp = datetime.utcnow().strftime("%m%dT%H%M")
+    timestamp = datetime.now().strftime("%m%dT%H%M")
     with open(path.join(root, f"report_{timestamp}_{args.weight_mode}_{args.modality}.json"), "w") as f:
         json.dump(report, f, sort_keys=True, indent=4, separators=(",", ": "))
     with open(path.join(root, f"stats_{timestamp}_{args.weight_mode}_{args.modality}.pickle"), "wb") as f:

@@ -257,7 +257,7 @@ def init_runtime(config):
     else:
         project_name = re.sub("/", "_", config.tracking.project_name)
         PROJECT_DIR = os.path.join(tracking_root, project_name,
-                                   datetime.utcnow().strftime("%m%dT%H%M"))
+                                   datetime.now().strftime("%m%dT%H%M"))
 
     os.makedirs(PROJECT_DIR, exist_ok=True)
     if runtime.is_main_process:

@@ -193,3 +193,42 @@ def test_training_is_deterministic(e2e_env):
     a, b = run_once(), run_once()
     for la, lb in zip(a, b):
         np.testing.assert_array_equal(la, lb)
+
+
+def test_inference_aux_file_and_attn_mode(e2e_env):
+    """--aux_file merges extra eval datasets; attn_mode=temporal+frame runs
+    through the full Detector (factorized softmax, src/models.py:105-115)."""
+    import numpy as np
+    import yaml
+
+    import inference as inf_mod
+    import main as main_mod
+    from fixtures import make_cdf_tree
+
+    tmp_path, ffpp_root = e2e_env
+    cdf_root = make_cdf_tree(str(tmp_path / "cdf"))
+
+    cfg_path = _write_e2e_config(tmp_path, ffpp_root)
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["model"]["op_mode"] = {"temporal_position": 1, "attn_mode": "temporal+frame"}
+    cfg_path2 = str(tmp_path / "e2e_attn.yaml")
+    yaml.safe_dump(cfg, open(cfg_path2, "w"))
+
+    project_dir = main_mod.main(
+        argparse.Namespace(cfg=cfg_path2, debug=False, test=False)
+    )
+
+    aux = {"data": {"eval": [{
+        "category": "Deepfake", "name": "CDF", "pack": 1,
+        "root_dir": cdf_root, "scale": 1.0,
+    }]}}
+    aux_path = str(tmp_path / "aux.yaml")
+    yaml.safe_dump(aux, open(aux_path, "w"))
+
+    report = inf_mod.main(argparse.Namespace(
+        artifacts_dir=project_dir, batch_size=2, aux_file=aux_path,
+        weight_mode="best", modality="video", num_workers=0, test=False,
+        cfg_name="setting",
+    ))
+    assert "FFPP" in report and "CDF" in report
+    assert np.isfinite(report["CDF"]["roc_auc"])
