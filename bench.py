@@ -190,21 +190,35 @@ def main():
             y, u, v = ready_q.get()
             return predict_yuv(params, y, u, v, mask)
 
-        # warmup (compile + queue fill)
+        # warmup (compile + queue fill); np.asarray forces real completion —
+        # jax.block_until_ready is a no-op on the axon platform (PERF.md)
         for _ in range(WARMUP_STEPS):
             out = run_batch()
-        jax.block_until_ready(out)
+        np.asarray(out)
 
         t0 = time.perf_counter()
-        for _ in range(BENCH_STEPS):
-            out = run_batch()
-        jax.block_until_ready(out)
+        outputs = [run_batch() for _ in range(BENCH_STEPS)]
+        for out in outputs:  # logits are (B, 2): negligible D2H
+            np.asarray(out)
         elapsed = time.perf_counter() - t0
         stop.set()
 
     clips_per_sec = BATCH_CLIPS * BENCH_STEPS / elapsed
     n_chips = jax.device_count()
     per_chip = clips_per_sec / n_chips
+
+    # device-only throughput (inputs resident): isolates the model from the
+    # host link — on this dev box the TPU sits behind a ~75 MB/s tunnel that
+    # bounds e2e; production hosts have PCIe/DMA (see PERF.md)
+    xd = jax.device_put(np.zeros((BATCH_CLIPS, NUM_FRAMES, 3, RES, RES), np.uint8))
+    md = jax.device_put(mask)
+    dev_predict = jax.jit(lambda p, x, m: model.predict(p, x, m)[0][0])
+    np.asarray(dev_predict(params, xd, md))
+    t0 = time.perf_counter()
+    outs = [dev_predict(params, xd, md) for _ in range(10)]
+    for o in outs:
+        np.asarray(o)
+    dev_per_chip = BATCH_CLIPS * 10 / (time.perf_counter() - t0) / n_chips
 
     print(
         json.dumps(
@@ -213,6 +227,8 @@ def main():
                 "value": round(per_chip, 2),
                 "unit": "clips/s/chip",
                 "vs_baseline": round(per_chip / BASELINE_EST_CLIPS_PER_SEC, 3),
+                "device_only_clips_per_sec_chip": round(dev_per_chip, 2),
+                "note": "e2e bound by the dev host: 1 CPU core + ~75MB/s TPU tunnel",
             }
         )
     )

@@ -1,27 +1,23 @@
 """Pallas fused attention kernels.
 
 The TPU-native replacements for the xFormers CUDA kernels of the reference
-(SURVEY.md §2.9 #5). Two kernels:
+(SURVEY.md §2.9 #5).
 
-  * ``fused_encoder_attention`` — full softmax self-attention for the frozen
-    ViT (197 tokens/frame, unmasked): one (batch, head) grid step computes
-    logits -> softmax -> weighted sum entirely in VMEM, never materializing
-    the (T, T) probabilities in HBM.
-  * ``fused_decoder_attention`` (ops/pallas_decoder_attention.py) — the
-    single-query dual-activation decoder attention.
+``fused_encoder_attention`` — full softmax self-attention for the frozen ViT
+(197 tokens/frame, unmasked). One grid step processes ALL heads of one frame
+from a single (T, H*D) VMEM block: logits -> softmax -> weighted sum stay in
+VMEM, the (T, T) probabilities never touch HBM, and the per-head loop is
+statically unrolled (grid = batch, not batch*heads — fewer, larger DMAs).
 
-On CPU (tests) the kernels run in interpreter mode automatically. The
-dispatcher in ops/attention.py selects backend by the
-``DFD_ATTENTION_BACKEND`` env var; XLA remains the default — measured on
-v5e the XLA path already sustains ~90% MXU utilization for the encoder
-(bench history in BENCH notes), so the Pallas path is provided for parity,
-experimentation, and as the substrate for future fusions (K/V export +
-layer-select in one pass).
+Measured honestly on v5e (scalar-reduced outputs; `block_until_ready` is a
+no-op on the axon platform — see PERF.md): 4.9 ms vs 10.0 ms XLA for
+320x197x12x64, i.e. the encoder's attention cost halves. Selected by default
+on TPU (DFD_ATTENTION_BACKEND=xla opts out).
+
+On CPU (tests) the kernels run in interpreter mode automatically.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -33,43 +29,47 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _encoder_attn_kernel(q_ref, k_ref, v_ref, o_ref):
-    """One (batch*head) slice: q,k,v (1, T, D) blocks -> out (1, T, D)."""
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    d = q.shape[-1]
-    logits = jax.lax.dot_general(
-        q * (d ** -0.5), k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (T, T)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+def _make_encoder_kernel(heads: int, head_dim: int):
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        scale = head_dim ** -0.5
+        qf = q_ref[0].astype(jnp.float32)  # (T, H*D)
+        kf = k_ref[0].astype(jnp.float32)
+        vf = v_ref[0].astype(jnp.float32)
+        for h in range(heads):  # static unroll over heads
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            q = qf[:, sl]
+            k = kf[:, sl]
+            v = vf[:, sl]
+            logits = jax.lax.dot_general(
+                q * scale, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o_ref[0, :, sl] = jnp.dot(
+                p, v, preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=())
 def fused_encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """(N, T, H, D) x3 -> (N, T, H, D), fused per (n, h) in VMEM."""
+    """(N, T, H, D) x3 -> (N, T, H, D); one frame (all heads) per grid step."""
     n, t, h, d = q.shape
-
-    def reshape_in(x):
-        return x.transpose(0, 2, 1, 3).reshape(n * h, t, d)
-
-    qf, kf, vf = reshape_in(q), reshape_in(k), reshape_in(v)
+    hd = h * d
+    qf = q.reshape(n, t, hd)
+    kf = k.reshape(n, t, hd)
+    vf = v.reshape(n, t, hd)
 
     out = pl.pallas_call(
-        _encoder_attn_kernel,
-        out_shape=jax.ShapeDtypeStruct((n * h, t, d), q.dtype),
-        grid=(n * h,),
+        _make_encoder_kernel(h, d),
+        out_shape=jax.ShapeDtypeStruct((n, t, hd), q.dtype),
+        grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ] * 3,
+        out_specs=pl.BlockSpec((1, t, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         interpret=_interpret(),
     )(qf, kf, vf)
-    return out.reshape(n, h, t, d).transpose(0, 2, 1, 3)
+    return out.reshape(n, t, h, d)
