@@ -1,0 +1,40 @@
+"""Device synchronization helpers.
+
+On some experimental platforms (the axon TPU tunnel used for development)
+``jax.block_until_ready`` does not actually block, which silently breaks
+wall-clock timing (see PERF.md "async-dispatch trap"). ``sync`` forces real
+completion by fetching a single element per leaf — one scalar of D2H, not
+the whole array.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def sync(tree: Any) -> Any:
+    """Block until every array in ``tree`` has materialized on device.
+
+    Returns the tree unchanged. Cost: one-element fetch per leaf.
+    """
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "ravel"):
+            np.asarray(jax.device_get(leaf.ravel()[:1]))
+    return tree
+
+
+def timed(fn, *args, iters: int = 10):
+    """Wall-clock a jitted function honestly: dispatch ``iters`` calls and
+    force completion of the last output chain. Returns (ms_per_call, out)."""
+    import time
+
+    out = fn(*args)
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    sync(out)
+    return (time.perf_counter() - t0) / iters * 1000.0, out

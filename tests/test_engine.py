@@ -254,3 +254,17 @@ def test_report_tool(tmp_path):
                                "best", "video")
     assert len(rows) == 2
     assert {r["run"] for r in rows} == {"DF", "F2F"}
+
+
+def test_device_sync_utility():
+    import jax
+    import jax.numpy as jnp
+
+    from dfd_clip_tpu.utils.device import sync, timed
+
+    x = jnp.arange(8.0)
+    f = jax.jit(lambda x: x * 2)
+    out = sync(f(x))
+    assert float(out[3]) == 6.0
+    ms, out2 = timed(f, x, iters=3)
+    assert ms >= 0.0 and float(out2[0]) == 0.0
