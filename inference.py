@@ -79,7 +79,19 @@ def load_model_params(model, root, weight_mode):
 
 def main(args):
     root = args.artifacts_dir
-    config = get_config(path.join(root, f"{args.cfg_name}.yaml"), args)
+    cfg_file = path.join(root, f"{args.cfg_name}.yaml")
+    if not path.isfile(cfg_file):
+        raise SystemExit(
+            f"no {args.cfg_name}.yaml in {root} — pass a training run directory "
+            "(or --cfg_name for a differently named config)"
+        )
+    weights = path.join(root, f"{args.weight_mode}_weights.pt")
+    if not path.isfile(weights):
+        raise SystemExit(
+            f"no {args.weight_mode}_weights.pt in {root} "
+            "(--weight_mode best|last)"
+        )
+    config = get_config(cfg_file, args)
     runtime = MeshRuntime()
 
     report = {}

@@ -81,6 +81,8 @@ def get_config(params):
     C.data.eval = []
 
     if params.cfg is not None:
+        if not os.path.isfile(params.cfg):
+            raise SystemExit(f"config file not found: {params.cfg}")
         C.merge_from_file(params.cfg)
         C.model = REGISTRY[C.model.name].get_default_config().merge_from_other_cfg(C.model)
         C.trainer = REGISTRY[C.trainer.name].get_default_config().merge_from_other_cfg(C.trainer)
