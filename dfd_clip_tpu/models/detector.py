@@ -140,7 +140,9 @@ class Detector:
         self.optimizer = config.optimizer
         self.weight_decay = config.weight_decay
 
-        if self.foundation == "clip":
+        if self.foundation in ("clip", "farl"):
+            # FaRL is a CLIP-architecture visual tower pretrained on faces —
+            # same math/converter, different checkpoint (BASELINE.json slot)
             self.vit_cfg = clip_vit.ARCHITECTURES[config.architecture]
             mean, std = CLIP_MEAN, CLIP_STD
         elif self.foundation == "dinov2":
@@ -202,7 +204,7 @@ class Detector:
     def init_params(self, key: jax.Array, encoder_params: Optional[Params] = None) -> Params:
         ke, kd, ka, kr = jax.random.split(key, 4)
         if encoder_params is None:
-            if self.foundation == "clip":
+            if self.foundation in ("clip", "farl"):
                 encoder_params = clip_vit.init_clip_vision(ke, self.vit_cfg)
             else:
                 from . import dinov2_vit
@@ -262,7 +264,7 @@ class Detector:
         """Frozen-encoder K/V: (B,T,3,H,W) -> {"k","v"}: (Lsel,B,T,P,H,D)."""
         b, t = x.shape[:2]
         frames = x.reshape((b * t,) + x.shape[2:])
-        if self.foundation == "clip":
+        if self.foundation in ("clip", "farl"):
             # only the kept layers' K/V are materialized (scatter-in-scan)
             kvs = clip_vit.clip_vision_kv(
                 params["encoder"], frames, self.vit_cfg, self.compute_dtype,
@@ -272,10 +274,9 @@ class Detector:
             from . import dinov2_vit
 
             kvs = dinov2_vit.dinov2_kv(
-                params["encoder"], frames, self.vit_cfg, self.compute_dtype
+                params["encoder"], frames, self.vit_cfg, self.compute_dtype,
+                keep_layers=tuple(self.layer_indices),
             )
-            sel = np.asarray(self.layer_indices)
-            kvs = {s: kvs[s][sel] for s in ("k", "v")}
         out = {}
         for s in ("k", "v"):
             feats = kvs[s][:, :, 1:]  # drop CLS token

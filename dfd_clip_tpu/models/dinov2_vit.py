@@ -160,8 +160,14 @@ def dinov2_kv(
     x: jax.Array,
     cfg: ViTConfig,
     compute_dtype: jnp.dtype = jnp.bfloat16,
+    keep_layers=None,
 ) -> Dict[str, jax.Array]:
-    """{"k","v"}: (L, N, T, H, D) with CLS at token 0 (callers drop it)."""
+    """{"k","v"}: (L, N, T, H, D) with CLS at token 0 (callers drop it).
+
+    ``keep_layers`` (static tuple) scatters only those layers' K/V into the
+    output accumulator — same memory optimization as clip_vit."""
+    import numpy as np
+
     x = x.astype(compute_dtype)
     x = jnp.transpose(x, (0, 2, 3, 1))
     w = params["conv1"]["w"].astype(compute_dtype)
@@ -177,13 +183,12 @@ def dinov2_kv(
     )
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["positional_embedding"].astype(compute_dtype)
+    n, t = x.shape[0], x.shape[1]
 
-    def block_fn(carry: jax.Array, bp: Params):
-        h = carry
+    def block_math(h: jax.Array, bp: Params):
         y = layers.layer_norm(bp["ln_1"], h)
         qkv = layers.linear(bp["attn"]["in_proj"], y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        n, t, _ = q.shape
         q = q.reshape(n, t, cfg.heads, cfg.head_dim)
         k = k.reshape(n, t, cfg.heads, cfg.head_dim)
         v = v.reshape(n, t, cfg.heads, cfg.head_dim)
@@ -194,8 +199,45 @@ def dinov2_kv(
         y = layers.linear(bp["mlp"]["c_fc"], y)
         y = jax.nn.gelu(y, approximate=False)
         y = layers.linear(bp["mlp"]["c_proj"], y)
-        h = h + bp["ls2"].astype(h.dtype) * y
-        return h, {"k": k, "v": v}
+        return h + bp["ls2"].astype(h.dtype) * y, k, v
 
-    _, kvs = jax.lax.scan(block_fn, x, params["blocks"])
+    if keep_layers is None:
+        def block_fn(carry, bp):
+            h, k, v = block_math(carry, bp)
+            return h, {"k": k, "v": v}
+
+        _, kvs = jax.lax.scan(block_fn, x, params["blocks"])
+        return kvs
+
+    nsel = len(keep_layers)
+    dest = np.zeros((cfg.layers,), np.int32)
+    keep = np.zeros((cfg.layers,), bool)
+    for slot, layer in enumerate(keep_layers):
+        dest[layer] = slot
+        keep[layer] = True
+
+    acc_shape = (nsel, n, t, cfg.heads, cfg.head_dim)
+    acc0 = {
+        "k": jnp.zeros(acc_shape, compute_dtype),
+        "v": jnp.zeros(acc_shape, compute_dtype),
+    }
+
+    def block_fn(carry, xs):
+        h, acc = carry
+        bp, d, kp = xs
+        h2, k, v = block_math(h, bp)
+
+        def write(a):
+            return {
+                "k": jax.lax.dynamic_update_index_in_dim(a["k"], k.astype(compute_dtype), d, 0),
+                "v": jax.lax.dynamic_update_index_in_dim(a["v"], v.astype(compute_dtype), d, 0),
+            }
+
+        acc = jax.lax.cond(kp, write, lambda a: a, acc)
+        return (h2, acc), None
+
+    (_, kvs), _ = jax.lax.scan(
+        block_fn, (x, acc0),
+        (params["blocks"], jnp.asarray(dest), jnp.asarray(keep)),
+    )
     return kvs

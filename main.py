@@ -213,6 +213,9 @@ def load_pretrained_encoder(model, config):
     if config.model.foundation == "clip":
         name = config.model.architecture.replace("/", "-").replace("@", "-")
         candidates += [f"misc/{name}.pt", f"misc/{name}.npz"]
+    elif config.model.foundation == "farl":
+        candidates += ["misc/FaRL-Base-Patch16-LAIONFace20M-ep64.pth",
+                       "misc/farl.pth"]
     elif config.model.foundation == "dinov2":
         candidates += ["misc/dinov2_vitb14_pretrain.pth"]
     for c in candidates:
@@ -229,7 +232,7 @@ def load_pretrained_encoder(model, config):
             except Exception:
                 params = None
             if params is None:
-                if config.model.foundation == "clip":
+                if config.model.foundation in ("clip", "farl"):
                     params, _ = weights_lib.load_clip_visual(c)
                 else:
                     params = weights_lib.load_dinov2(c, model.vit_cfg)

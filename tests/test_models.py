@@ -387,3 +387,54 @@ def test_detector_compression_feature_match(rng):
         jnp.ones((b, 4), bool), comp_is_raw=comp_is_raw, train=True, single_task=0,
     )
     assert "match" in other and np.isfinite(float(other["match"]))
+
+
+def test_selective_kv_matches_full(rng):
+    """keep_layers scatter-in-scan equals full export + select (both towers)."""
+    import numpy as np
+
+    from dfd_clip_tpu.models import dinov2_vit
+
+    x = jnp.asarray(rng.standard_normal((2, 3, 32, 32)), jnp.float32)
+    params = clip_vit.init_clip_vision(jax.random.key(0), TINY)
+    full = clip_vit.clip_vision_kv(params, x, TINY, jnp.float32)
+    sel = clip_vit.clip_vision_kv(params, x, TINY, jnp.float32, keep_layers=(0, 2))
+    for s in ("k", "v"):
+        np.testing.assert_allclose(np.asarray(sel[s]), np.asarray(full[s])[[0, 2]],
+                                   rtol=1e-5, atol=1e-5)
+
+    dcfg = clip_vit.ViTConfig(input_resolution=28, patch_size=14, width=32,
+                              layers=3, heads=2, output_dim=32)
+    dparams = dinov2_vit.init_dinov2(jax.random.key(1), dcfg)
+    xd = jnp.asarray(rng.standard_normal((2, 3, 28, 28)), jnp.float32)
+    dfull = dinov2_vit.dinov2_kv(dparams, xd, dcfg, jnp.float32)
+    dsel = dinov2_vit.dinov2_kv(dparams, xd, dcfg, jnp.float32, keep_layers=(1, 2))
+    for s in ("k", "v"):
+        np.testing.assert_allclose(np.asarray(dsel[s]), np.asarray(dfull[s])[[1, 2]],
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_farl_foundation_and_vit_l(rng):
+    """FaRL foundation = CLIP tower; ViT-L registry entries construct."""
+    cfg = Detector.get_default_config()
+    cfg.merge_from_other_cfg({
+        "foundation": "farl", "architecture": "ViT-Test",
+        "decode_mode": "stride", "decode_stride": 2,
+        "out_dim": [2], "losses": ["auc_roc"],
+    })
+    det = Detector(cfg, num_frames=4, compute_dtype=jnp.float32)
+    assert det.layer_indices == (0, 2)  # stride over the 3-layer test tower
+    params = det.init_params(jax.random.key(0))
+    x = rng.integers(0, 255, (1, 4, 3, 32, 32), dtype=np.uint8)
+    logits, _ = det.predict(params, jnp.asarray(x), jnp.ones((1, 4), bool))
+    assert np.isfinite(np.asarray(logits[0])).all()
+
+    # ViT-L configs resolve with stride layer selection over 24 layers
+    lcfg = Detector.get_default_config()
+    lcfg.merge_from_other_cfg({
+        "architecture": "ViT-L/14", "decode_mode": "stride",
+        "decode_stride": 4, "out_dim": [2], "losses": ["auc_roc"],
+    })
+    det_l = Detector(lcfg, num_frames=4)
+    assert det_l.vit_cfg.layers == 24
+    assert det_l.layer_indices == tuple(range(0, 24, 4))
