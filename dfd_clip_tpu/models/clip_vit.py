@@ -189,6 +189,7 @@ def clip_vision_kv(
         return kvs
 
     nsel = len(keep_layers)
+    last = max(keep_layers)
     # static per-layer scatter plan: destination slot (or 0) + keep flag
     dest = np.zeros((cfg.layers,), np.int32)
     keep = np.zeros((cfg.layers,), bool)
@@ -216,8 +217,25 @@ def clip_vision_kv(
         acc = jax.lax.cond(kp, write, lambda a: a, acc)
         return (x2, acc), None
 
-    (_, kvs), _ = jax.lax.scan(
+    # Scan the full blocks strictly BEFORE the last kept layer; the last kept
+    # layer only contributes its K/V, which depend on ln_1 + qkv projection —
+    # its attention/MLP (and any later blocks) are dead work and skipped.
+    prefix = jax.tree_util.tree_map(lambda a: a[:last], params["blocks"])
+    (h, kvs), _ = jax.lax.scan(
         block_fn, (h, acc0),
-        (params["blocks"], jnp.asarray(dest), jnp.asarray(keep)),
+        (prefix, jnp.asarray(dest[:last]), jnp.asarray(keep[:last])),
     )
+    last_bp = jax.tree_util.tree_map(lambda a: a[last], params["blocks"])
+    y = layers.layer_norm(last_bp["ln_1"], h)
+    qkv = layers.linear(last_bp["attn"]["in_proj"], y)
+    _, k_last, v_last = jnp.split(qkv, 3, axis=-1)
+    slot = int(dest[last])
+    kvs = {
+        "k": kvs["k"].at[slot].set(
+            k_last.reshape(n, t, cfg.heads, cfg.head_dim).astype(compute_dtype)
+        ),
+        "v": kvs["v"].at[slot].set(
+            v_last.reshape(n, t, cfg.heads, cfg.head_dim).astype(compute_dtype)
+        ),
+    }
     return kvs

@@ -210,6 +210,7 @@ def dinov2_kv(
         return kvs
 
     nsel = len(keep_layers)
+    last = max(keep_layers)
     dest = np.zeros((cfg.layers,), np.int32)
     keep = np.zeros((cfg.layers,), bool)
     for slot, layer in enumerate(keep_layers):
@@ -236,8 +237,24 @@ def dinov2_kv(
         acc = jax.lax.cond(kp, write, lambda a: a, acc)
         return (h2, acc), None
 
-    (_, kvs), _ = jax.lax.scan(
+    # blocks past the last kept layer are dead work; the last kept layer
+    # only needs its ln_1 + qkv projection (same trick as clip_vit)
+    prefix = jax.tree_util.tree_map(lambda a: a[:last], params["blocks"])
+    (h, kvs), _ = jax.lax.scan(
         block_fn, (x, acc0),
-        (params["blocks"], jnp.asarray(dest), jnp.asarray(keep)),
+        (prefix, jnp.asarray(dest[:last]), jnp.asarray(keep[:last])),
     )
+    last_bp = jax.tree_util.tree_map(lambda a: a[last], params["blocks"])
+    y = layers.layer_norm(last_bp["ln_1"], h)
+    qkv = layers.linear(last_bp["attn"]["in_proj"], y)
+    _, k_last, v_last = jnp.split(qkv, 3, axis=-1)
+    slot = int(dest[last])
+    kvs = {
+        "k": kvs["k"].at[slot].set(
+            k_last.reshape(n, t, cfg.heads, cfg.head_dim).astype(compute_dtype)
+        ),
+        "v": kvs["v"].at[slot].set(
+            v_last.reshape(n, t, cfg.heads, cfg.head_dim).astype(compute_dtype)
+        ),
+    }
     return kvs
