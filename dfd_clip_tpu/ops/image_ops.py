@@ -9,14 +9,58 @@ resize + crop + normalization fused into the first conv's input.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 
+def _torch_cubic(t: "np.ndarray", a: float = -0.75) -> "np.ndarray":
+    """PyTorch's bicubic kernel (a = -0.75; jax uses the Keys a = -0.5)."""
+    import numpy as np
+
+    t = np.abs(t)
+    out = np.zeros_like(t)
+    m1 = t <= 1
+    out[m1] = (a + 2) * t[m1] ** 3 - (a + 3) * t[m1] ** 2 + 1
+    m2 = (t > 1) & (t < 2)
+    out[m2] = a * t[m2] ** 3 - 5 * a * t[m2] ** 2 + 8 * a * t[m2] - 4 * a
+    return out
+
+
+@functools.lru_cache(maxsize=64)
+def _bicubic_matrix(in_size: int, out_size: int) -> "np.ndarray":
+    """(out, in) interpolation weights matching torch's antialiased bicubic
+    (torchvision's tensor-backend resize — the reference's transform)."""
+    import numpy as np
+
+    scale = in_size / out_size
+    antialias = scale > 1.0
+    # torch's antialias resize follows PIL: cubic a=-0.5 with the kernel
+    # stretched by the scale; the non-antialias path is torch's a=-0.75.
+    a = -0.5 if antialias else -0.75
+    support = 2.0 * (scale if antialias else 1.0)
+    centers = (np.arange(out_size) + 0.5) * scale - 0.5
+    w = np.zeros((out_size, in_size), np.float32)
+    for i, c in enumerate(centers):
+        lo = int(np.floor(c - support)) + 1
+        hi = int(np.ceil(c + support))
+        idx = np.clip(np.arange(lo, hi + 1), 0, in_size - 1)
+        t = (np.arange(lo, hi + 1) - c) / (scale if antialias else 1.0)
+        kw = _torch_cubic(t, a)
+        np.add.at(w[i], idx, kw)
+    w /= w.sum(axis=1, keepdims=True)
+    return w
+
+
 def resize_shorter_side(x: jax.Array, size: int, method: str = "bicubic") -> jax.Array:
-    """Resize (..., C, H, W) so the shorter spatial side equals ``size``."""
+    """Resize (..., C, H, W) so the shorter spatial side equals ``size``.
+
+    Bicubic uses precomputed torch-matched interpolation matrices (sizes are
+    static under jit) applied as two matmuls — bit-near torchvision's
+    antialiased bicubic, and MXU-friendly.
+    """
     *lead, c, h, w = x.shape
     if h <= w:
         new_h, new_w = size, max(size, round(size * w / h))
@@ -24,7 +68,12 @@ def resize_shorter_side(x: jax.Array, size: int, method: str = "bicubic") -> jax
         new_h, new_w = max(size, round(size * h / w)), size
     if (new_h, new_w) == (h, w):
         return x
-    return jax.image.resize(x, (*lead, c, new_h, new_w), method=method)
+    if method != "bicubic":
+        return jax.image.resize(x, (*lead, c, new_h, new_w), method=method)
+    wh = jnp.asarray(_bicubic_matrix(h, new_h))  # (new_h, h)
+    ww = jnp.asarray(_bicubic_matrix(w, new_w))  # (new_w, w)
+    y = jnp.einsum("oh,...hw->...ow", wh, x.astype(jnp.float32))
+    return jnp.einsum("pw,...ow->...op", ww, y)
 
 
 def center_crop(x: jax.Array, size: int) -> jax.Array:
