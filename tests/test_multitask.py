@@ -111,3 +111,35 @@ def test_multitask_trainer(roots):
     assert "deepfake/ffpp" in trainer.batch_losses
     for v in trainer.batch_losses.values():
         assert np.isfinite(np.asarray(v)).all()
+
+
+def test_multitask_teacher_mode(roots):
+    """Teacher mode with two tasks: after teach_at, non-source tasks train on
+    the EMA teacher's softmax pseudo-labels (reference src/trainer.py:124-137)."""
+    ffpp_root, rppg_root = roots
+    runtime = MeshRuntime()
+
+    det = tiny_detector(out_dim=[140, 2], losses=["kl_div", "auc_roc"])
+
+    rppg_cfg = RPPG.get_default_config()
+    rppg_cfg.root_dir = rppg_root
+    rppg_cfg.category = "rPPG"
+    rppg_cfg.runtime = False
+    rppg_cfg.train_ratio = 1.0
+    rppg_ds = RPPG(rppg_cfg, num_frames=4, clip_duration=2, split="train", index=0)
+    ffpp_ds = FFPP(ffpp_config(ffpp_root), num_frames=4, clip_duration=2,
+                   runtime=runtime, split="train", index=1)
+
+    tcfg = Trainer.get_default_config()
+    tcfg.max_steps = 3
+    tcfg.batch_size = 1 if runtime.data_parallel > 1 else 2
+    tcfg.num_workers = 0
+    tcfg.mode = "teacher"
+    tcfg.mode_params.teach_at = 1
+    tcfg.mode_params.ema_ratio = 0.999
+    trainer = Trainer(tcfg, runtime, det, [rppg_ds, ffpp_ds])
+    trainer.run()
+    assert trainer.teaching
+    assert trainer.steps == 3
+    for v in trainer.batch_losses.values():
+        assert np.isfinite(np.asarray(v)).all()
