@@ -12,6 +12,11 @@ ops/decoder_attention.py for the XLA spec). The fusion computes, per
 avoiding two HBM-materialized (B, L, H) affinity tensors and the separate
 L1-distance broadcast of the XLA path. Supports the default attention mode;
 factorized attn_mode variants dispatch to the XLA implementation.
+
+Honest v5e timing (see PERF.md methodology): XLA 3.3 ms vs this kernel
+5.1 ms at B=16, L=3920 — XLA's fusion wins for the single-query,
+bandwidth-light decoder, so XLA stays the default and this kernel is an
+opt-in (DFD_ATTENTION_BACKEND=pallas) reference implementation.
 """
 
 from __future__ import annotations
