@@ -227,3 +227,18 @@ def test_loader_threaded_matches_sync():
     sync = [b[1].tolist() for b in DataLoader(_ToyDataset(), batch_size=2)]
     thr = [b[1].tolist() for b in DataLoader(_ToyDataset(), batch_size=2, num_workers=3)]
     assert sync == thr
+
+
+def test_loader_propagates_worker_errors():
+    class Exploding:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise RuntimeError("boom at 5")
+            return np.zeros((2,)), i
+
+    dl = DataLoader(Exploding(), batch_size=2, num_workers=2)
+    with pytest.raises(RuntimeError, match="boom at 5"):
+        list(dl)
