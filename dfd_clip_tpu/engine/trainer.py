@@ -283,7 +283,27 @@ class Trainer(_Trainer):
         )
 
     # -- the loop (reference src/trainer.py:98-203) ------------------------------
+    def _next_device_batch(self, iterators, name):
+        """Fetch + device-place the next batch of one task's loader."""
+        try:
+            batch = next(iterators[name])
+        except StopIteration:
+            iterators[name] = iter(self.dataloaders[name])
+            try:
+                batch = next(iterators[name])
+            except StopIteration:
+                raise RuntimeError(
+                    f"dataloader '{name}' yields no batches: dataset has "
+                    f"{len(self.dataloaders[name].dataset)} samples but the "
+                    f"global batch is {self.dataloaders[name].batch_size} "
+                    "(batch_size x data_parallel) with drop_last"
+                ) from None
+        return (*self._prepare_batch(batch), batch)
+
     def run(self):
+        import queue as _queue
+        import threading as _threading
+
         self.trigger_callbacks("on_training_start")
         self.steps = self.start_step
         if self.steps >= self.config.max_steps:
@@ -291,29 +311,50 @@ class Trainer(_Trainer):
             return
         iterators = {name: iter(dl) for name, dl in self.dataloaders.items()}
 
+        # Device prefetch: decode + host->device transfer of the next round
+        # of task batches overlaps the current step's compute (the transfer
+        # can dominate on slow host links).
+        names = list(iterators.keys())
+        prefetch_q: "_queue.Queue" = _queue.Queue(maxsize=1)
+        stop_prefetch = _threading.Event()
+
+        def producer():
+            try:
+                while not stop_prefetch.is_set():
+                    round_batches = [
+                        (name, self._next_device_batch(iterators, name))
+                        for name in names
+                    ]
+                    while not stop_prefetch.is_set():
+                        try:
+                            prefetch_q.put(("ok", round_batches), timeout=0.5)
+                            break
+                        except _queue.Full:
+                            continue
+            except Exception as e:
+                prefetch_q.put(("err", e))
+
+        producer_thread = _threading.Thread(target=producer, daemon=True)
+        producer_thread.start()
+
+        try:
+            self._run_loop(prefetch_q)
+        finally:
+            stop_prefetch.set()
+
+    def _run_loop(self, prefetch_q):
         while True:
             self.trigger_callbacks("on_batch_start")
             self.batch_losses = {}
             self.batch_logits = {}
             self.batch_labels = {}
 
-            total_grads = None
-            for name in iterators:
-                try:
-                    batch = next(iterators[name])
-                except StopIteration:
-                    iterators[name] = iter(self.dataloaders[name])
-                    try:
-                        batch = next(iterators[name])
-                    except StopIteration:
-                        raise RuntimeError(
-                            f"dataloader '{name}' yields no batches: dataset has "
-                            f"{len(self.dataloaders[name].dataset)} samples but the "
-                            f"global batch is {self.dataloaders[name].batch_size} "
-                            "(batch_size x data_parallel) with drop_last"
-                        ) from None
+            kind, round_batches = prefetch_q.get()
+            if kind == "err":
+                raise round_batches
 
-                device_batch, task_index = self._prepare_batch(batch)
+            total_grads = None
+            for name, (device_batch, task_index, batch) in round_batches:
                 bsz = device_batch["x"].shape[0]
                 patch_indices, triplet_indices = self._host_extras(bsz)
                 if triplet_indices is not None:
@@ -356,6 +397,12 @@ class Trainer(_Trainer):
             self.batch_loss_info = ",".join(
                 f"{np.mean(l):.6f}({n}) " for n, l in self.batch_losses.items()
             )
+            # NaN abort (the dinov2 trainer's guard, train.py:274-276)
+            for name, losses in self.batch_losses.items():
+                if not np.isfinite(np.asarray(losses)).all():
+                    raise FloatingPointError(
+                        f"NaN/Inf loss for '{name}' at step {self.steps}"
+                    )
             self.trigger_callbacks("on_batch_end")
 
             if self.steps >= self.config.max_steps:
