@@ -213,6 +213,9 @@ class SSLTrainer:
         return g, l, masks
 
     def run(self) -> Dict[str, float]:
+        import queue as _queue
+        import threading as _threading
+
         cfg = self.config
         batch = cfg.batch_size * self.runtime.data_parallel
         self._sampler_iter = iter(
@@ -222,12 +225,48 @@ class SSLTrainer:
                 num_shards=self.runtime.num_processes,
             )
         )
+
+        # one-batch device prefetch: multi-crop augmentation + transfer
+        # overlap the previous step's compute
+        q: "_queue.Queue" = _queue.Queue(maxsize=1)
+        stop = _threading.Event()
+
+        def producer():
+            try:
+                while not stop.is_set():
+                    g, l, masks = self._next_batch(batch)
+                    item = (
+                        jax.device_put(g),
+                        jax.device_put(l) if l is not None else None,
+                        jax.device_put(masks),
+                    )
+                    while not stop.is_set():
+                        try:
+                            q.put(("ok", item), timeout=0.5)
+                            break
+                        except _queue.Full:
+                            continue
+            except Exception as e:
+                q.put(("err", e))
+
+        producer_thread = _threading.Thread(target=producer, daemon=True)
+        producer_thread.start()
+
+        last_metrics: Dict[str, float] = {}
+        try:
+            last_metrics = self._run_loop(q)
+        finally:
+            stop.set()
+        return last_metrics
+
+    def _run_loop(self, q) -> Dict[str, float]:
+        cfg = self.config
         last_metrics: Dict[str, float] = {}
         for step in range(self.start_step, cfg.max_steps):
-            g, l, masks = self._next_batch(batch)
-            g_d = jax.device_put(g)  # (2, B, ...) — batch axis is dim 1
-            l_d = jax.device_put(l) if l is not None else None
-            m_d = jax.device_put(masks)
+            kind, item = q.get()
+            if kind == "err":
+                raise item
+            g_d, l_d, m_d = item
             (self.student, self.teacher, self.centers, self.opt_state,
              metrics) = self._step_fn(
                 self.student, self.teacher, self.centers, self.opt_state,
@@ -252,3 +291,4 @@ class SSLTrainer:
             if step % 10 == 0:
                 self.runtime.print(f"ssl step {step}: {last_metrics}")
         return last_metrics
+
