@@ -112,12 +112,28 @@ def _embed(params: Params, x: jax.Array, cfg: ViTConfig, compute_dtype,
         params["class_embedding"].astype(compute_dtype), (x.shape[0], 1, cfg.width)
     )
     x = jnp.concatenate([cls, x], axis=1)
-    n_tok = x.shape[1]
-    pos = params["positional_embedding"][:n_tok].astype(compute_dtype)
-    return x + pos
+    pos = _pos_embed_for(params["positional_embedding"], x.shape[1], cfg)
+    return x + pos.astype(compute_dtype)
 
 
-def _block(bp: Params, h: jax.Array, cfg: ViTConfig) -> jax.Array:
+def _pos_embed_for(pos: jax.Array, n_tokens: int, cfg: ViTConfig) -> jax.Array:
+    """Positional embedding for an arbitrary (static) token count: spatial
+    bicubic interpolation of the patch grid, CLS kept
+    (dinov2/models/vision_transformer.py:165-189 behavior). Needed for SSL
+    local crops, whose grid differs from the pretraining grid."""
+    if n_tokens == pos.shape[0]:
+        return pos
+    src_grid = int(round((pos.shape[0] - 1) ** 0.5))
+    dst_grid = int(round((n_tokens - 1) ** 0.5))
+    cls_pos = pos[:1]
+    grid = pos[1:].reshape(src_grid, src_grid, -1)
+    grid = jax.image.resize(grid, (dst_grid, dst_grid, grid.shape[-1]), "bicubic")
+    return jnp.concatenate([cls_pos, grid.reshape(dst_grid * dst_grid, -1)], axis=0)
+
+
+def _block(bp: Params, h: jax.Array, cfg: ViTConfig,
+           dp1: jax.Array | float = 1.0, dp2: jax.Array | float = 1.0) -> jax.Array:
+    """dp1/dp2: per-sample stochastic-depth keep masks (pre-scaled)."""
     y = layers.layer_norm(bp["ln_1"], h)
     qkv = layers.linear(bp["attn"]["in_proj"], y)
     q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -127,12 +143,12 @@ def _block(bp: Params, h: jax.Array, cfg: ViTConfig) -> jax.Array:
     v = v.reshape(n, t, cfg.heads, cfg.head_dim)
     attn_out = encoder_self_attention(q, k, v).reshape(n, t, cfg.width)
     attn_out = layers.linear(bp["attn"]["out_proj"], attn_out)
-    h = h + bp["ls1"].astype(h.dtype) * attn_out
+    h = h + dp1 * bp["ls1"].astype(h.dtype) * attn_out
     y = layers.layer_norm(bp["ln_2"], h)
     y = layers.linear(bp["mlp"]["c_fc"], y)
     y = jax.nn.gelu(y, approximate=False)
     y = layers.linear(bp["mlp"]["c_proj"], y)
-    return h + bp["ls2"].astype(h.dtype) * y
+    return h + dp2 * bp["ls2"].astype(h.dtype) * y
 
 
 def dinov2_forward(
@@ -141,16 +157,34 @@ def dinov2_forward(
     cfg: ViTConfig,
     compute_dtype: jnp.dtype = jnp.bfloat16,
     masks: jax.Array | None = None,
+    drop_path_rate: float = 0.0,
+    rng: jax.Array | None = None,
 ) -> Dict[str, jax.Array]:
     """Full tower forward for SSL/eval: returns normalized CLS and patch
     tokens ({"cls": (N, W), "patch": (N, P, W)}), with optional iBOT patch
-    masking (dinov2/models/vision_transformer.py:202-244 behavior)."""
+    masking (dinov2/models/vision_transformer.py:202-244 behavior) and
+    per-sample stochastic depth on both residual branches
+    (dinov2/layers/drop_path.py semantics) when ``drop_path_rate`` > 0."""
     h = _embed(params, x, cfg, compute_dtype, masks)
 
-    def body(carry, bp):
-        return _block(bp, carry, cfg), None
+    if drop_path_rate > 0.0 and rng is not None:
+        n = h.shape[0]
+        keep = 1.0 - drop_path_rate
+        layer_keys = jax.random.split(rng, cfg.layers)
 
-    h, _ = jax.lax.scan(body, h, params["blocks"])
+        def body(carry, xs):
+            bp, key = xs
+            k1, k2 = jax.random.split(key)
+            m1 = jax.random.bernoulli(k1, keep, (n, 1, 1)).astype(carry.dtype) / keep
+            m2 = jax.random.bernoulli(k2, keep, (n, 1, 1)).astype(carry.dtype) / keep
+            return _block(bp, carry, cfg, m1, m2), None
+
+        h, _ = jax.lax.scan(body, h, (params["blocks"], layer_keys))
+    else:
+        def body(carry, bp):
+            return _block(bp, carry, cfg), None
+
+        h, _ = jax.lax.scan(body, h, params["blocks"])
     h = layers.layer_norm(params["ln_post"], h)
     return {"cls": h[:, 0].astype(jnp.float32), "patch": h[:, 1:].astype(jnp.float32)}
 

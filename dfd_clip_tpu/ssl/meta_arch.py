@@ -37,6 +37,7 @@ class SSLConfig:
     dino_weight: float = 1.0
     ibot_weight: float = 1.0
     koleo_weight: float = 0.1
+    drop_path_rate: float = 0.0
     head_hidden_dim: int = 2048
     head_bottleneck_dim: int = 256
     head_n_layers: int = 3
@@ -82,9 +83,13 @@ class SSLMetaArch:
         local_crops: Optional[jax.Array],  # (n_local, B, 3, s, s) or None
         patch_masks: jax.Array,    # (2, B, P) bool — per global crop
         teacher_temp: jax.Array,
+        rng: Optional[jax.Array] = None,
     ):
         """One SSL loss evaluation. Returns (total_loss, (metrics, new_centers))."""
         c = self.cfg
+        rng_g = rng_l = None
+        if rng is not None:
+            rng_g, rng_l = jax.random.split(rng)
         two, b = global_crops.shape[:2]
         flat_globals = global_crops.reshape((two * b,) + global_crops.shape[2:])
 
@@ -100,10 +105,11 @@ class SSLMetaArch:
         t_cls_logits = jax.lax.stop_gradient(t_cls_logits)
         t_patch_logits = jax.lax.stop_gradient(t_patch_logits)
 
-        # student on masked global crops
+        # student on masked global crops (with stochastic depth)
         s_out_g = dinov2_vit.dinov2_forward(
             student["backbone"], flat_globals, c.arch, self.compute_dtype,
             masks=patch_masks.reshape(two * b, -1),
+            drop_path_rate=c.drop_path_rate, rng=rng_g,
         )
         s_cls_logits_g = apply_dino_head(student["dino_head"], s_out_g["cls"])
         s_cls = [s_cls_logits_g.reshape(two, b, -1)]
@@ -113,7 +119,8 @@ class SSLMetaArch:
             nl = local_crops.shape[0]
             flat_locals = local_crops.reshape((nl * b,) + local_crops.shape[2:])
             s_out_l = dinov2_vit.dinov2_forward(
-                student["backbone"], flat_locals, c.arch, self.compute_dtype
+                student["backbone"], flat_locals, c.arch, self.compute_dtype,
+                drop_path_rate=c.drop_path_rate, rng=rng_l,
             )
             s_cls.append(
                 apply_dino_head(student["dino_head"], s_out_l["cls"]).reshape(nl, b, -1)

@@ -56,6 +56,7 @@ class SSLTrainer:
         C.mask_ratio_max = 0.5
         C.mask_sample_prob = 0.5
         C.layerwise_decay = 0.9
+        C.drop_path_rate = 0.0
         C.fsdp = 0  # shard params/opt state over the data axis (ZeRO-3 analog)
         C.checkpoint_interval = 0
         C.checkpoint_dir = "ssl_checkpoints"
@@ -79,6 +80,7 @@ class SSLTrainer:
             ibot_out_dim=config.out_dim,
             local_size=config.local_size,
             n_local_crops=config.n_local_crops,
+            drop_path_rate=config.get("drop_path_rate", 0.0),
         )
         self.meta = SSLMetaArch(self.ssl_cfg)
         self.student, self.teacher, self.centers = self.meta.init_params(
@@ -130,17 +132,26 @@ class SSLTrainer:
 
         meta = self.meta
 
+        freeze_steps = config.get("freeze_last_layer_steps", 0)
+
         def train_step(student, teacher, centers, opt_state,
-                       global_crops, local_crops, patch_masks, step):
+                       global_crops, local_crops, patch_masks, step, rng):
             temp = self.temp_schedule(step)
 
             def loss_fn(s):
                 return meta.forward_loss(
                     s, teacher, centers, global_crops, local_crops,
-                    patch_masks, temp,
+                    patch_masks, temp, rng=rng,
                 )
 
             grads, (metrics, new_centers) = jax.grad(loss_fn, has_aux=True)(student)
+            # freeze the weight-normed prototype layers for the first
+            # freeze_last_layer_steps (dinov2 cancel_last_layer_gradients)
+            live = (step >= freeze_steps).astype(jnp.float32)
+            for head in ("dino_head", "ibot_head"):
+                if head in grads:
+                    grads[head]["last_v"] = grads[head]["last_v"] * live
+                    grads[head]["last_g"] = grads[head]["last_g"] * live
             updates, opt_state2 = self.optimizer.update(grads, opt_state, student)
             student2 = optax.apply_updates(student, updates)
             m = self.momentum_schedule(step)
@@ -271,6 +282,7 @@ class SSLTrainer:
              metrics) = self._step_fn(
                 self.student, self.teacher, self.centers, self.opt_state,
                 g_d, l_d, m_d, jnp.asarray(step, jnp.float32),
+                jax.random.fold_in(jax.random.key(cfg.seed + 1), step),
             )
             last_metrics = {k: float(v) for k, v in metrics.items()}
             if not np.isfinite(last_metrics["total"]):

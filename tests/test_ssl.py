@@ -245,3 +245,64 @@ def test_ssl_trainer_fsdp_sharding(tmp_path):
     assert any("'data'" in s for s in flat), flat[:5]
     metrics = trainer.run()
     assert np.isfinite(metrics["total"])
+
+
+def test_local_crop_pos_embed_interpolated():
+    """Local crops must get a spatially interpolated pos-embed, not a slice
+    (dinov2 interpolate_pos_encoding behavior)."""
+    from dfd_clip_tpu.models import dinov2_vit
+
+    arch = ViTConfig(input_resolution=56, patch_size=14, width=32, layers=1,
+                     heads=2, output_dim=32)  # 4x4 grid pretrain
+    params = dinov2_vit.init_dinov2(jax.random.key(0), arch)
+    x_small = jnp.zeros((1, 3, 28, 28))  # 2x2 grid local crop
+    out = dinov2_vit.dinov2_forward(params, x_small, arch, jnp.float32)
+    assert out["patch"].shape == (1, 4, 32)
+
+    # the embedded positions must equal bicubic-resize of the 4x4 grid, not
+    # its first 4 rows
+    pos = np.asarray(params["positional_embedding"])
+    grid = pos[1:].reshape(4, 4, -1)
+    expected = np.asarray(jax.image.resize(jnp.asarray(grid), (2, 2, grid.shape[-1]), "bicubic"))
+    got = np.asarray(dinov2_vit._pos_embed_for(
+        params["positional_embedding"], 5, arch))[1:].reshape(2, 2, -1)
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+    assert not np.allclose(got.reshape(4, -1), pos[1:5])  # not a slice
+
+
+def test_drop_path_and_freeze_last_layer(tmp_path):
+    """drop_path: train forwards differ per rng; freeze: last-layer grads
+    are zeroed before freeze_last_layer_steps."""
+    from dfd_clip_tpu.models import dinov2_vit
+    from dfd_clip_tpu.ssl.train import SSLTrainer
+
+    params = dinov2_vit.init_dinov2(jax.random.key(0), TINY_ARCH)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 3, 28, 28)),
+                    jnp.float32)
+    a = dinov2_vit.dinov2_forward(params, x, TINY_ARCH, jnp.float32,
+                                  drop_path_rate=0.5, rng=jax.random.key(1))
+    b = dinov2_vit.dinov2_forward(params, x, TINY_ARCH, jnp.float32,
+                                  drop_path_rate=0.5, rng=jax.random.key(2))
+    assert not np.allclose(np.asarray(a["cls"]), np.asarray(b["cls"]))
+    # rate 0 is the deterministic forward
+    c = dinov2_vit.dinov2_forward(params, x, TINY_ARCH, jnp.float32)
+    d = dinov2_vit.dinov2_forward(params, x, TINY_ARCH, jnp.float32,
+                                  drop_path_rate=0.0, rng=jax.random.key(3))
+    np.testing.assert_array_equal(np.asarray(c["cls"]), np.asarray(d["cls"]))
+
+    runtime = MeshRuntime()
+    cfg = SSLTrainer.get_default_config()
+    cfg.batch_size = 1
+    cfg.max_steps = 1
+    cfg.out_dim = 64
+    cfg.n_local_crops = 0
+    cfg.local_size = 28
+    cfg.warmup_steps = 1
+    cfg.warmup_teacher_temp_steps = 1
+    cfg.freeze_last_layer_steps = 5  # > max_steps: last layer must not move
+    cfg.drop_path_rate = 0.1
+    trainer = SSLTrainer(cfg, runtime, SyntheticImages(size=64), arch=TINY_ARCH)
+    before = np.asarray(trainer.student["dino_head"]["last_v"])
+    trainer.run()
+    after = np.asarray(trainer.student["dino_head"]["last_v"])
+    np.testing.assert_array_equal(before, after)
