@@ -38,3 +38,44 @@ def timed(fn, *args, iters: int = 10):
         out = fn(*args)
     sync(out)
     return (time.perf_counter() - t0) / iters * 1000.0, out
+
+
+def prefetch_iter(iterable, place_fn, lookahead: int = 1):
+    """Iterate ``iterable`` with ``place_fn`` (e.g. jax.device_put) applied in
+    a background thread one item ahead — overlaps host->device transfers
+    with downstream compute (transfers can be synchronous on slow links)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=lookahead)
+    stop = threading.Event()
+
+    def produce():
+        try:
+            for item in iterable:
+                placed = place_fn(item)
+                while not stop.is_set():
+                    try:
+                        q.put(("ok", placed), timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put(("done", None))
+        except Exception as e:
+            q.put(("err", e))
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    try:
+        while True:
+            kind, value = q.get()
+            if kind == "ok":
+                yield value
+            elif kind == "err":
+                raise value
+            else:
+                return
+    finally:
+        stop.set()

@@ -124,22 +124,37 @@ def main(args):
         accuracy_calc = metrics_lib.accuracy()
         roc_auc_calc = metrics_lib.roc_auc()
 
-        for i, data in enumerate(loader):
-            clips, label, masks = data[0], data[1], data[2]
-            if isinstance(clips, list) and len(clips) == 0:
-                logging.error("Sample Index: %d has no clips, skipping...", i)
-                continue
-            clips = np.stack(clips)
-            masks = np.stack(masks)
+        def sub_batches():
+            """(clips, label, clip-batch...) stream with static-shape padding."""
+            for i, data in enumerate(loader):
+                clips, label, masks = data[0], data[1], data[2]
+                if isinstance(clips, list) and len(clips) == 0:
+                    logging.error("Sample Index: %d has no clips, skipping...", i)
+                    continue
+                clips = np.stack(clips)
+                masks = np.stack(masks)
+                parts = []
+                for j in range(0, len(clips), N):
+                    x = clips[j : j + N]
+                    m = masks[j : j + N]
+                    n_valid = x.shape[0]
+                    if n_valid < N:  # pad to the static batch shape
+                        x = np.concatenate([x, np.repeat(x[-1:], N - n_valid, 0)])
+                        m = np.concatenate([m, np.repeat(m[-1:], N - n_valid, 0)])
+                    parts.append((x, m, n_valid))
+                yield label, parts
+
+        from dfd_clip_tpu.utils.device import prefetch_iter
+
+        def place(item):
+            label, parts = item
+            return label, [(jax.device_put(x), jax.device_put(m), nv)
+                           for x, m, nv in parts]
+
+        for label, parts in prefetch_iter(sub_batches(), place):
             logits = []
-            for j in range(0, len(clips), N):
-                x = clips[j : j + N]
-                m = masks[j : j + N]
-                n_valid = x.shape[0]
-                if n_valid < N:  # pad to the static batch shape
-                    x = np.concatenate([x, np.repeat(x[-1:], N - n_valid, 0)])
-                    m = np.concatenate([m, np.repeat(m[-1:], N - n_valid, 0)])
-                out = predict_fn(params, x, m)
+            for xd, md, n_valid in parts:
+                out = predict_fn(params, xd, md)
                 logits.append(np.asarray(out)[:n_valid])
             logits = np.concatenate(logits)
             p = _softmax(logits)
