@@ -268,3 +268,22 @@ def test_device_sync_utility():
     assert float(out[3]) == 6.0
     ms, out2 = timed(f, x, iters=3)
     assert ms >= 0.0 and float(out2[0]) == 0.0
+
+
+def test_stats_tool(tmp_path):
+    import pickle
+    import sys
+    from os import path
+
+    sys.path.insert(0, path.join(path.dirname(path.dirname(path.abspath(__file__))), "tools"))
+    import stats as stats_tool
+
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 2, 50)
+    probs = np.clip(labels * 0.8 + rng.normal(0, 0.1, 50), 0, 1)
+    p = str(tmp_path / "stats_x_best_video.pickle")
+    with open(p, "wb") as f:
+        pickle.dump({"FFPP": {"label": labels.tolist(), "prob": probs.tolist()}}, f)
+    out = stats_tool.analyze(p)
+    assert out["FFPP"]["auc"] > 0.95
+    assert out["FFPP"]["n"] == 50
