@@ -13,6 +13,7 @@ def build() -> str:
     cmd = [
         "g++", "-O2", "-fPIC", "-shared", "-std=c++17",
         os.path.join(HERE, "videodecode.cpp"),
+        os.path.join(HERE, "videoencode.cpp"),
         "-o", out,
         "-lavformat", "-lavcodec", "-lavutil", "-lswscale",
     ]

@@ -91,9 +91,13 @@ struct Decoder {
   }
 
   // Decode forward until a frame with pts >= t; frame left in `out`.
+  // At EOF the most recent frame is returned instead (clamp-to-last, the
+  // container-seek behavior of TorchVision near stream end).
   int decode_until(double t, AVFrame* out) {
     AVPacket* pkt = av_packet_alloc();
     AVFrame* frame = av_frame_alloc();
+    bool have_any = false;
+    bool flushed = false;
     int rc = -1;
     while (true) {
       int err = avcodec_receive_frame(codec, frame);
@@ -104,16 +108,21 @@ struct Decoder {
         double pts = raw == AV_NOPTS_VALUE ? last_pts + 1.0 / (fps() > 0 ? fps() : 25.0)
                                            : raw * time_base;
         last_pts = pts;
+        // keep the most recent frame in `out` so EOF can clamp to it
+        av_frame_unref(out);
+        av_frame_move_ref(out, frame);
+        have_any = true;
         if (pts >= t - kEps) {
-          av_frame_unref(out);
-          av_frame_move_ref(out, frame);
           rc = 0;
           break;
         }
-        av_frame_unref(frame);
         continue;
       }
-      if (err == AVERROR_EOF) { eof = true; break; }
+      if (err == AVERROR_EOF) {
+        eof = true;
+        if (have_any) rc = 0;
+        break;
+      }
       if (err != AVERROR(EAGAIN)) break;
       // feed more packets
       int perr;
@@ -122,7 +131,9 @@ struct Decoder {
         av_packet_unref(pkt);
       }
       if (perr < 0) {
+        if (flushed) { if (have_any) rc = 0; break; }
         avcodec_send_packet(codec, nullptr);  // flush
+        flushed = true;
       } else {
         avcodec_send_packet(codec, pkt);
         av_packet_unref(pkt);

@@ -60,6 +60,17 @@ class NativeVideoLib:
             ctypes.POINTER(ctypes.c_int),
         ]
         self.lib.dfd_read_frames_yuv.restype = ctypes.c_int
+        self.lib.dfd_encode_video.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_double,
+            ctypes.c_int,
+            ctypes.c_char_p,
+        ]
+        self.lib.dfd_encode_video.restype = ctypes.c_int
 
     @classmethod
     def get(cls) -> "NativeVideoLib":
@@ -146,3 +157,19 @@ class NativeVideoLib:
         if rc != 0:
             raise IOError(f"native read_frames_yuv failed ({rc}): {path}")
         return bool(full_range.value)
+
+    def encode_video(self, path: str, frames: np.ndarray, fps: float,
+                     crf: int = 23, codec: str = "libx264") -> None:
+        """Encode (N, H, W, 3) RGB uint8 frames; x264 CRF or mpeg4.
+
+        The native replacement for the ffmpeg-CLI c23/c40 re-encode
+        (reference preprocessing/compression.py:27)."""
+        frames = np.ascontiguousarray(frames, np.uint8)
+        n, h, w, _ = frames.shape
+        rc = self.lib.dfd_encode_video(
+            path.encode(),
+            frames.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            n, h, w, float(fps), int(crf), codec.encode(),
+        )
+        if rc != 0:
+            raise IOError(f"native encode failed ({rc}): {path}")

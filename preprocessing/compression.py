@@ -1,10 +1,10 @@
 """Compression simulation (c23/c40) for raw clips.
 
 Equivalent of /root/reference/preprocessing/compression.py: re-encode each
-video at x264 CRF 23 (c23) / 40 (c40), idempotent per file. Uses the ffmpeg
-binary when present; otherwise falls back to an OpenCV MJPEG re-encode at a
-quality level approximating the CRF (documented approximation — install
-ffmpeg for exact x264 output).
+video at x264 CRF 23 (c23) / 40 (c40), idempotent per file. Encoder
+preference: the ffmpeg binary when present, else the framework's native
+libx264 path (csrc/videoencode.cpp — exact x264 CRF semantics, no binary
+needed), else an OpenCV MJPEG approximation.
 """
 
 from __future__ import annotations
@@ -25,6 +25,20 @@ def compress_ffmpeg(src: str, dst: str, crf: int) -> None:
         ["ffmpeg", "-y", "-loglevel", "error", "-i", src,
          "-crf", str(crf), "-c:v", "libx264", dst]
     )
+
+
+def compress_native(src_path: str, dst: str, crf: int) -> None:
+    """libx264 CRF re-encode via the framework's native encoder."""
+    import sys
+    from os import path as _p
+
+    sys.path.insert(0, _p.join(_p.dirname(_p.dirname(_p.abspath(__file__)))))
+    from dfd_clip_tpu.data.native_video import NativeVideoLib
+
+    lib = NativeVideoLib.get()
+    fps, n_frames, _ = lib.probe(src_path)
+    frames = lib.read_frames(src_path, [i / fps for i in range(n_frames)])
+    lib.encode_video(dst, frames, fps=fps, crf=crf, codec="libx264")
 
 
 def compress_opencv(src: str, dst: str, crf: int) -> None:
@@ -50,8 +64,20 @@ def compress_opencv(src: str, dst: str, crf: int) -> None:
 
 def main(args):
     use_ffmpeg = shutil.which("ffmpeg") is not None
+    use_native = False
     if not use_ffmpeg:
-        print("ffmpeg binary not found; using OpenCV MJPEG approximation", file=stderr)
+        try:
+            import sys
+            from os import path as _p
+
+            sys.path.insert(0, _p.join(_p.dirname(_p.dirname(_p.abspath(__file__)))))
+            from dfd_clip_tpu.data.native_video import NativeVideoLib
+
+            NativeVideoLib.get()
+            use_native = True
+            print("ffmpeg binary not found; using native libx264 encoder", file=stderr)
+        except ImportError:
+            print("no ffmpeg and no native lib; using OpenCV MJPEG approximation", file=stderr)
     src_videos = sorted(glob(path.join(args.data_dir, "**", f"*{args.vid_ext}"),
                              recursive=True))
     for i, src in enumerate(src_videos):
@@ -64,6 +90,8 @@ def main(args):
         try:
             if use_ffmpeg:
                 compress_ffmpeg(src, dst, args.crf)
+            elif use_native:
+                compress_native(src, dst, args.crf)
             else:
                 compress_opencv(src, dst, args.crf)
         except Exception as e:

@@ -25,7 +25,7 @@ import numpy as np
 
 from face_align import crop_patch, load_mean_face
 
-CODECS = {"mp4v": "mp4v", "ffv1": "FFV1", "mjpg": "MJPG"}
+CODECS = {"mp4v": "mp4v", "ffv1": "FFV1", "mjpg": "MJPG", "x264": "x264"}
 
 
 def process_video(video_path: str, data_dir: str, save_dir: str, reference: np.ndarray,
@@ -62,18 +62,33 @@ def process_video(video_path: str, data_dir: str, save_dir: str, reference: np.n
         window_margin=args.window_margin,
     )
 
-    fourcc = cv2.VideoWriter_fourcc(*CODECS[args.codec])
     fname_pad = math.floor(math.log(max(len(cropped) / fps, 1.0001), 10)) + 1
+    native = None
+    if args.codec == "x264":
+        import sys
+        from os import path as _p
+
+        sys.path.insert(0, _p.join(_p.dirname(_p.dirname(_p.abspath(__file__)))))
+        from dfd_clip_tpu.data.native_video import NativeVideoLib
+
+        native = NativeVideoLib.get()
+    else:
+        fourcc = cv2.VideoWriter_fourcc(*CODECS[args.codec])
     for i in range(0, len(cropped), fps):
         clip = cropped[i : i + fps]
         if len(clip) < fps:
             break
         makedirs(video_save_dir, exist_ok=True)
         out_path = path.join(video_save_dir, f"{i // fps}".zfill(fname_pad))
-        writer = cv2.VideoWriter(f"{out_path}.avi", fourcc, fps, clip[0].shape[:2][::-1])
-        for frame in clip:
-            writer.write(frame)
-        writer.release()
+        if native is not None:
+            # frames are BGR (cv2); encoder wants RGB
+            native.encode_video(f"{out_path}.avi", clip[..., ::-1], fps=fps,
+                                crf=args.x264_crf, codec="libx264")
+        else:
+            writer = cv2.VideoWriter(f"{out_path}.avi", fourcc, fps, clip[0].shape[:2][::-1])
+            for frame in clip:
+                writer.write(frame)
+            writer.release()
 
     if path.isdir(video_save_dir):
         with open(path.join(video_save_dir, "done"), "w"):
@@ -107,6 +122,8 @@ def get_argparser():
     parser.add_argument("--stop-idx", default=68, type=int)
     parser.add_argument("--window-margin", default=12, type=int)
     parser.add_argument("--codec", default="mp4v", choices=sorted(CODECS))
+    parser.add_argument("--x264-crf", dest="x264_crf", default=0, type=int,
+                        help="CRF for --codec x264 (0 = lossless)")
     parser.add_argument("--num_shards", default=1, type=int)
     parser.add_argument("--shard_index", default=0, type=int)
     return parser

@@ -242,3 +242,34 @@ def test_loader_propagates_worker_errors():
     dl = DataLoader(Exploding(), batch_size=2, num_workers=2)
     with pytest.raises(RuntimeError, match="boom at 5"):
         list(dl)
+
+
+def test_native_x264_encode_decode_roundtrip(tmp_path):
+    """The native libx264 encoder (c23 pipeline without the ffmpeg binary)
+    produces files our decoder reads; lossless CRF-0 round-trips closely."""
+    try:
+        from dfd_clip_tpu.data.native_video import NativeVideoLib
+
+        lib = NativeVideoLib.get()
+    except ImportError:
+        pytest.skip("native lib not built")
+
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32) / 64
+    frames = np.stack([
+        np.clip(np.stack([150 + 50 * np.sin(6 * xx + f / 5), yy * 200,
+                          np.full_like(yy, 80.0)], -1), 0, 255).astype(np.uint8)
+        for f in range(50)
+    ])
+    p = str(tmp_path / "x264.mp4")
+    lib.encode_video(p, frames, fps=25.0, crf=18, codec="libx264")
+    fps, n, dur = lib.probe(p)
+    assert n == 50 and abs(fps - 25.0) < 1.0
+
+    dec = lib.read_frames(p, [0.0, 1.0, 1.96])
+    assert dec.shape == (3, 64, 64, 3)
+    diff = np.abs(dec[0].astype(int) - frames[0].astype(int)).mean()
+    assert diff < 6.0, diff  # crf18 visually lossless
+
+    # YUV fast path flags limited range for x264 output
+    y, u, v, full_range = lib.read_frames_yuv(p, [0.0])
+    assert not full_range
