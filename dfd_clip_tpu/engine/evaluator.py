@@ -109,9 +109,14 @@ class Evaluator(_Evaluator):
                     trainer.trainable, trainer.frozen,
                     arrays["x"], arrays["label"], arrays["m"],
                 )
-                self.batch_losses[name] = np.asarray(losses)[:n]
-                self.batch_logits[name] = np.asarray(logits)[:n]
-                self.batch_labels[name] = np.asarray(label)
+                # local-shard host views; padding rows only exist on the
+                # trailing shards, so trim against the local row count
+                losses_h = self.runtime.to_host(losses)
+                logits_h = self.runtime.to_host(logits)
+                local_n = min(n, losses_h.shape[0])
+                self.batch_losses[name] = losses_h[:local_n]
+                self.batch_logits[name] = logits_h[:local_n]
+                self.batch_labels[name] = np.asarray(label)[:local_n]
 
                 self.batch_num += 1
                 self.batch_loss_info = ",".join(

@@ -376,11 +376,12 @@ class Trainer(_Trainer):
                     jnp.add, total_grads, grads
                 )
 
-                self.batch_losses[name] = np.asarray(task_losses[task_index])
-                self.batch_logits[name] = np.asarray(task_logits[task_index])
-                self.batch_labels[name] = np.asarray(y[task_index])
+                to_host = self.runtime.to_host
+                self.batch_losses[name] = to_host(task_losses[task_index])
+                self.batch_logits[name] = to_host(task_logits[task_index])
+                self.batch_labels[name] = to_host(y[task_index])
                 for k, v in other.items():
-                    self.batch_losses[k] = np.asarray(v)
+                    self.batch_losses[k] = to_host(v)
 
             self.trainable, self.opt_state = self._apply_fn(
                 self.trainable, self.opt_state, total_grads

@@ -126,6 +126,21 @@ class MeshRuntime:
         dp = self.data_parallel
         return ((n + dp - 1) // dp) * dp
 
+    def to_host(self, x) -> np.ndarray:
+        """Host view of a (possibly cross-process-sharded) device array.
+
+        Returns the process-LOCAL rows for batch-sharded arrays (the
+        Accelerate convention — gather_for_metrics then assembles the global
+        view), or the full value when it is addressable/replicated.
+        """
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            shards = [s for s in x.addressable_shards if s.replica_id == 0]
+            shards.sort(key=lambda s: tuple(
+                (sl.start or 0) for sl in s.index
+            ))
+            return np.concatenate([np.asarray(s.data) for s in shards])
+        return np.asarray(x)
+
     # -- metric gather ---------------------------------------------------------
     def gather_for_metrics(self, tree: Any) -> Any:
         """Gather per-process arrays for metric computation.
