@@ -148,6 +148,7 @@ def clip_vision_kv(
     cfg: ViTConfig,
     compute_dtype: jnp.dtype = jnp.bfloat16,
     keep_layers: Optional[tuple] = None,
+    kv_int8: bool = False,
 ) -> Dict[str, jax.Array]:
     """Run the frozen tower, exporting per-layer head-split K and V.
 
@@ -157,6 +158,11 @@ def clip_vision_kv(
     are written — the scan scatters each kept layer into a pre-sized
     accumulator instead of materializing all 12 layers and indexing after,
     halving the K/V HBM footprint/traffic for the canonical keep-6 config.
+
+    With ``kv_int8`` (keep_layers only) the exported K/V are quantized to
+    int8 with per-(layer, head) absmax scales ("k_scale"/"v_scale",
+    (L, H)) — halving the K/V HBM footprint again vs bf16 for capacity
+    (bigger batches / ViT-L); the Detector dequantizes at the consumer.
 
     K/V are the raw in-projection outputs before attention/out-proj — the
     exact export point of /root/reference/src/clip/model.py:185-199.
@@ -197,11 +203,24 @@ def clip_vision_kv(
         dest[layer] = slot
         keep[layer] = True
 
+    store_dtype = jnp.int8 if kv_int8 else compute_dtype
     acc_shape = (nsel, n, t, cfg.heads, cfg.head_dim)
     acc0 = {
-        "k": jnp.zeros(acc_shape, compute_dtype),
-        "v": jnp.zeros(acc_shape, compute_dtype),
+        "k": jnp.zeros(acc_shape, store_dtype),
+        "v": jnp.zeros(acc_shape, store_dtype),
     }
+    if kv_int8:
+        acc0["k_scale"] = jnp.zeros((nsel, cfg.heads), jnp.float32)
+        acc0["v_scale"] = jnp.zeros((nsel, cfg.heads), jnp.float32)
+
+    def quantize(f):
+        """(N, T, H, D) -> int8 values + per-head scale."""
+        scale = jnp.max(jnp.abs(f.astype(jnp.float32)), axis=(0, 1, 3)) + 1e-8
+        q = jnp.clip(
+            jnp.round(f.astype(jnp.float32) / scale[None, None, :, None] * 127.0),
+            -127, 127,
+        ).astype(jnp.int8)
+        return q, scale
 
     def block_fn(carry, xs):
         x, acc = carry
@@ -209,6 +228,15 @@ def clip_vision_kv(
         x2, k, v = block_math(x, bp)
 
         def write(a):
+            if kv_int8:
+                kq, ks = quantize(k)
+                vq, vs = quantize(v)
+                return {
+                    "k": jax.lax.dynamic_update_index_in_dim(a["k"], kq, d, 0),
+                    "v": jax.lax.dynamic_update_index_in_dim(a["v"], vq, d, 0),
+                    "k_scale": jax.lax.dynamic_update_index_in_dim(a["k_scale"], ks, d, 0),
+                    "v_scale": jax.lax.dynamic_update_index_in_dim(a["v_scale"], vs, d, 0),
+                }
             return {
                 "k": jax.lax.dynamic_update_index_in_dim(a["k"], k.astype(compute_dtype), d, 0),
                 "v": jax.lax.dynamic_update_index_in_dim(a["v"], v.astype(compute_dtype), d, 0),
@@ -229,13 +257,21 @@ def clip_vision_kv(
     y = layers.layer_norm(last_bp["ln_1"], h)
     qkv = layers.linear(last_bp["attn"]["in_proj"], y)
     _, k_last, v_last = jnp.split(qkv, 3, axis=-1)
+    k_last = k_last.reshape(n, t, cfg.heads, cfg.head_dim)
+    v_last = v_last.reshape(n, t, cfg.heads, cfg.head_dim)
     slot = int(dest[last])
-    kvs = {
-        "k": kvs["k"].at[slot].set(
-            k_last.reshape(n, t, cfg.heads, cfg.head_dim).astype(compute_dtype)
-        ),
-        "v": kvs["v"].at[slot].set(
-            v_last.reshape(n, t, cfg.heads, cfg.head_dim).astype(compute_dtype)
-        ),
-    }
+    if kv_int8:
+        kq, ks = quantize(k_last)
+        vq, vs = quantize(v_last)
+        kvs = {
+            "k": kvs["k"].at[slot].set(kq),
+            "v": kvs["v"].at[slot].set(vq),
+            "k_scale": kvs["k_scale"].at[slot].set(ks),
+            "v_scale": kvs["v_scale"].at[slot].set(vs),
+        }
+    else:
+        kvs = {
+            "k": kvs["k"].at[slot].set(k_last.astype(compute_dtype)),
+            "v": kvs["v"].at[slot].set(v_last.astype(compute_dtype)),
+        }
     return kvs

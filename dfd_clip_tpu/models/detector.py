@@ -265,11 +265,20 @@ class Detector:
         b, t = x.shape[:2]
         frames = x.reshape((b * t,) + x.shape[2:])
         if self.foundation in ("clip", "farl"):
-            # only the kept layers' K/V are materialized (scatter-in-scan)
+            # only the kept layers' K/V are materialized (scatter-in-scan);
+            # op_mode.kv_dtype=int8 stores them quantized for capacity
+            kv_int8 = self.op_mode.get("kv_dtype", "auto") == "int8"
             kvs = clip_vit.clip_vision_kv(
                 params["encoder"], frames, self.vit_cfg, self.compute_dtype,
-                keep_layers=tuple(self.layer_indices),
+                keep_layers=tuple(self.layer_indices), kv_int8=kv_int8,
             )
+            if kv_int8:
+                kvs = {
+                    s: kvs[s].astype(self.compute_dtype)
+                    * (kvs[f"{s}_scale"][:, None, None, :, None] / 127.0
+                       ).astype(self.compute_dtype)
+                    for s in ("k", "v")
+                }
         else:
             from . import dinov2_vit
 

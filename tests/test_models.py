@@ -438,3 +438,20 @@ def test_farl_foundation_and_vit_l(rng):
     det_l = Detector(lcfg, num_frames=4)
     assert det_l.vit_cfg.layers == 24
     assert det_l.layer_indices == tuple(range(0, 24, 4))
+
+
+def test_int8_kv_export_parity(rng):
+    """op_mode.kv_dtype=int8 stores quantized K/V; logits stay close to the
+    bf16 path (per-head absmax quantization)."""
+    det_fp = _tiny_detector()
+    det_q = _tiny_detector(op_mode={"temporal_position": 1, "kv_dtype": "int8"})
+    params = det_fp.init_params(jax.random.key(0))
+    x = rng.integers(0, 255, (2, 4, 3, 32, 32), dtype=np.uint8)
+    m = jnp.ones((2, 4), bool)
+    base, _ = det_fp.predict(params, jnp.asarray(x), m)
+    quant, _ = det_q.predict(params, jnp.asarray(x), m)
+    np.testing.assert_allclose(np.asarray(quant[0]), np.asarray(base[0]),
+                               rtol=0.15, atol=0.3)
+    # logits remain L2-norm 5
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(quant[0]), axis=-1),
+                               5.0, rtol=1e-4)
