@@ -306,3 +306,18 @@ def test_drop_path_and_freeze_last_layer(tmp_path):
     trainer.run()
     after = np.asarray(trainer.student["dino_head"]["last_v"])
     np.testing.assert_array_equal(before, after)
+
+
+def test_infinite_sampler_shards_and_advances():
+    s0 = InfiniteSampler(6, seed=2, shard_index=0, num_shards=2)
+    s1 = InfiniteSampler(6, seed=2, shard_index=1, num_shards=2)
+    a = [next(iter(s0)) for _ in range(1)]  # noqa: F841 (construction works)
+    it0, it1 = iter(s0), iter(s1)
+    first = [next(it0) for _ in range(3)] + [next(it1) for _ in range(3)]
+    assert sorted(first) == list(range(6))
+    # advance skips the first k entries of the global stream
+    it_adv = iter(InfiniteSampler(6, seed=2, shard_index=0, num_shards=1, advance=2))
+    it_ref = iter(InfiniteSampler(6, seed=2, shard_index=0, num_shards=1))
+    ref = [next(it_ref) for _ in range(8)]
+    adv = [next(it_adv) for _ in range(6)]
+    assert adv == ref[2:]
