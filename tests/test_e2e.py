@@ -232,3 +232,34 @@ def test_inference_aux_file_and_attn_mode(e2e_env):
     ))
     assert "FFPP" in report and "CDF" in report
     assert np.isfinite(report["CDF"]["roc_auc"])
+
+
+def test_cross_manipulation_recipe(e2e_env):
+    """The headline experiment shape: train on REAL+DF, evaluate on the
+    held-out F2F manipulation (scripts/cross-manipulation-*.sh semantics)."""
+    import yaml
+
+    import main as main_mod
+    from fixtures import make_ffpp_tree
+
+    tmp_path, _ = e2e_env
+    root = make_ffpp_tree(str(tmp_path / "ffpp3"), types=("REAL", "DF", "F2F"))
+
+    cfg_path = _write_e2e_config(tmp_path, root)
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["data"]["train"][0]["types"] = ["REAL", "DF"]
+    cfg["data"]["eval"][0]["types"] = ["REAL", "F2F"]  # held-out manipulation
+    cfg["tracking"]["project_name"] = "xmanip"
+    p = str(tmp_path / "xmanip.yaml")
+    yaml.safe_dump(cfg, open(p, "w"))
+
+    run_dir = main_mod.main(argparse.Namespace(cfg=p, debug=False, test=False))
+    assert path.isfile(path.join(run_dir, "best_weights.pt"))
+
+    import inference as inf_mod
+
+    report = inf_mod.main(argparse.Namespace(
+        artifacts_dir=run_dir, batch_size=2, aux_file=None, weight_mode="best",
+        modality="video", num_workers=0, test=False, cfg_name="setting",
+    ))
+    assert "FFPP" in report  # evaluated on the held-out manipulation
