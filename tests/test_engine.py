@@ -287,3 +287,45 @@ def test_stats_tool(tmp_path):
     out = stats_tool.analyze(p)
     assert out["FFPP"]["auc"] > 0.95
     assert out["FFPP"]["n"] == 50
+
+
+def test_profiler_callback(ffpp_root, tmp_path):
+    from dfd_clip_tpu.data.datasets import FFPP
+    from dfd_clip_tpu.engine.callbacks import make_profiler_callbacks
+
+    runtime = MeshRuntime()
+    det = tiny_detector()
+    ds = FFPP(ffpp_config(ffpp_root), num_frames=4, clip_duration=2,
+              runtime=runtime, split="train", index=0)
+    trainer = Trainer(_trainer_cfg(max_steps=3, batch_size=1), runtime, det, [ds])
+    trace_dir = str(tmp_path / "trace")
+    trainer.add_callback("on_batch_start",
+                         make_profiler_callbacks(trace_dir, start_step=1, end_step=2))
+    trainer.run()
+    import os
+
+    found = []
+    for root, _, files in os.walk(trace_dir):
+        found += files
+    assert found, "profiler trace produced no files"
+
+
+def test_sharding_invariance(ffpp_root):
+    """dp-only vs dp x sp meshes produce numerically matching losses for the
+    same seed (the sharded program is semantics-preserving)."""
+    from dfd_clip_tpu.data.datasets import FFPP
+
+    def run(seq_parallel):
+        runtime = MeshRuntime(seq_parallel=seq_parallel)
+        det = tiny_detector()
+        ds = FFPP(ffpp_config(ffpp_root), num_frames=4, clip_duration=2,
+                  runtime=runtime, split="train", index=0, seed=0)
+        cfg = _trainer_cfg(max_steps=1)
+        cfg.batch_size = 16 // runtime.data_parallel
+        trainer = Trainer(cfg, runtime, det, [ds], seed=0)
+        trainer.run()
+        return np.sort(np.asarray(trainer.batch_losses["deepfake/ffpp"]))
+
+    a = run(1)
+    b = run(2)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
