@@ -117,3 +117,45 @@ def test_pipeline_end_to_end(tmp_path, monkeypatch):
     assert path.isfile(cropped)
     p_fake = pipeline.get_result(str(vid), run_dir)
     assert 0.0 <= p_fake <= 1.0
+
+
+def test_compression_cli_native(tmp_path, monkeypatch):
+    """compression.py main() with the native libx264 encoder: c23 output
+    exists, decodes to the same frame count, and is smaller than lossless."""
+    import shutil
+
+    import compression
+    from fixtures import write_video
+
+    pytest.importorskip("ctypes")
+    from dfd_clip_tpu.data.native_video import NativeVideoLib
+
+    try:
+        lib = NativeVideoLib.get()
+    except Exception as e:  # pragma: no cover - lib always builds in CI
+        pytest.skip(f"native lib unavailable: {e}")
+
+    src_dir = tmp_path / "raw" / "videos"
+    src = src_dir / "a" / "0.avi"
+    os.makedirs(src.parent)
+    frames = (np.random.default_rng(0)
+              .integers(0, 255, (25, 64, 64, 3), np.uint8))
+    lib.encode_video(str(src), frames, fps=25, crf=0, codec="libx264")
+
+    dst_dir = tmp_path / "c23"
+    monkeypatch.setattr(shutil, "which", lambda _: None)  # force native path
+    compression.main(compression.get_argparser().parse_args(
+        ["--data_dir", str(tmp_path / "raw"), "--save_dir", str(dst_dir),
+         "--crf", "23"]))
+
+    dst = dst_dir / "videos" / "a" / "0.avi"
+    assert dst.is_file()
+    _, n, _ = lib.probe(str(dst))
+    assert n == 25
+    assert dst.stat().st_size < src.stat().st_size
+    # idempotent: second run leaves mtime untouched
+    mtime = dst.stat().st_mtime_ns
+    compression.main(compression.get_argparser().parse_args(
+        ["--data_dir", str(tmp_path / "raw"), "--save_dir", str(dst_dir),
+         "--crf", "23"]))
+    assert dst.stat().st_mtime_ns == mtime
