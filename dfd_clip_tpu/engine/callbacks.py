@@ -62,24 +62,36 @@ def update_metrics(agent) -> None:
     pred_labels = {n: np.argmax(np.asarray(l), axis=-1) for n, l in agent.batch_logits.items()}
     pred_probs = {n: _softmax_np(np.asarray(l)) for n, l in agent.batch_logits.items()}
 
-    pred_labels, pred_probs, batch_labels, batch_losses = agent.runtime.gather_for_metrics(
-        (pred_labels, pred_probs, agent.batch_labels, agent.batch_losses)
+    # batch_valid (evaluator ragged tails) rides THROUGH the gather: local
+    # shard shapes must match across processes or the allgather deadlocks,
+    # so padding rows are dropped after gathering, never before
+    pred_labels, pred_probs, batch_labels, batch_losses, batch_valid = (
+        agent.runtime.gather_for_metrics(
+            (pred_labels, pred_probs, agent.batch_labels, agent.batch_losses,
+             getattr(agent, "batch_valid", {}))
+        )
     )
 
     if not agent.runtime.is_main_process:
         return
+
+    def trim(name, arr):
+        arr = np.asarray(arr)
+        return arr[np.asarray(batch_valid[name])] if name in batch_valid else arr
 
     for name, labels in batch_labels.items():
         if name not in agent.calcs:
             continue
         for metric in agent.calcs[name].values():
             metric.add_batch(
-                pred_labels=pred_labels[name],
-                pred_probs=pred_probs[name],
-                labels=np.asarray(labels),
+                pred_labels=trim(name, pred_labels[name]),
+                pred_probs=trim(name, pred_probs[name]),
+                labels=trim(name, labels),
             )
     for name, loss in batch_losses.items():
-        agent.losses.setdefault(name, []).append(float(np.mean(np.asarray(loss))))
+        vals = trim(name, loss)
+        if len(vals):
+            agent.losses.setdefault(name, []).append(float(np.mean(vals)))
 
 
 def compute_metrics(agent) -> None:

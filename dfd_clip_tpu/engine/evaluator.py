@@ -86,6 +86,7 @@ class Evaluator(_Evaluator):
                 self.batch_losses = {}
                 self.batch_logits = {}
                 self.batch_labels = {}
+                self.batch_valid = {}
 
                 frames, label, mask, comps, speed, index = batch
                 task_index = int(np.asarray(index).reshape(-1)[0])
@@ -104,23 +105,32 @@ class Evaluator(_Evaluator):
                     y = np.concatenate([y, np.repeat(y[-1:], pad, axis=0)])
                     m = np.concatenate([m, np.repeat(m[-1:], pad, axis=0)])
 
-                arrays = self.runtime.shard_batch({"x": x, "label": y, "m": m})
+                # rowid rides along so each process can drop the padding rows
+                # that landed in ITS shards (they need not be trailing rows
+                # of the local view on non-first ranks)
+                arrays = self.runtime.shard_batch(
+                    {"x": x, "label": y, "m": m,
+                     "rowid": np.arange(target, dtype=np.int32)}
+                )
                 losses, logits = self._eval_fn(trainer, task_index)(
                     trainer.trainable, trainer.frozen,
                     arrays["x"], arrays["label"], arrays["m"],
                 )
-                # local-shard host views; padding rows only exist on the
-                # trailing shards, so trim against the local row count
-                losses_h = self.runtime.to_host(losses)
-                logits_h = self.runtime.to_host(logits)
-                local_n = min(n, losses_h.shape[0])
-                self.batch_losses[name] = losses_h[:local_n]
-                self.batch_logits[name] = logits_h[:local_n]
-                self.batch_labels[name] = np.asarray(label)[:local_n]
+                # local-shard host views, label/rowid from the same sharded
+                # arrays so every row stays aligned with its loss/logit.
+                # Padding rows stay IN the arrays (fixed local shapes keep
+                # the metric allgather collective-safe); batch_valid marks
+                # them for post-gather removal in update_metrics
+                self.batch_losses[name] = self.runtime.to_host(losses)
+                self.batch_logits[name] = self.runtime.to_host(logits)
+                self.batch_labels[name] = self.runtime.to_host(arrays["label"])
+                self.batch_valid[name] = self.runtime.to_host(arrays["rowid"]) < n
 
                 self.batch_num += 1
                 self.batch_loss_info = ",".join(
-                    f"{np.mean(l):.6f}({n_}) " for n_, l in self.batch_losses.items()
+                    f"{np.mean(l[self.batch_valid[n_]]):.6f}({n_}) "
+                    if self.batch_valid[n_].any() else f"-({n_}) "
+                    for n_, l in self.batch_losses.items()
                 )
                 self.trigger_callbacks("on_batch_end")
         self.trigger_callbacks("on_evaluation_end")

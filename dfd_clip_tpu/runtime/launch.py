@@ -53,8 +53,10 @@ def initialize(coordinator_address: Optional[str] = None,
         s = slurm_env()
         if s is not None:
             coordinator_address = s["coordinator_address"]
-            num_processes = num_processes or s["num_processes"]
-            process_id = process_id or s["process_id"]
+            if num_processes is None:
+                num_processes = s["num_processes"]
+            if process_id is None:  # NB: rank 0 is falsy — test for None
+                process_id = s["process_id"]
     if coordinator_address is None:
         # TPU pods: jax.distributed.initialize() discovers everything itself
         # when run under the TPU runtime with multiple workers. Single-host

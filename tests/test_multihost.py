@@ -92,3 +92,118 @@ def test_two_process_training_step(tmp_path, monkeypatch):
     assert np.isfinite(a).all() and np.isfinite(b).all()
     # the psum-synced update leaves both ranks with identical weights
     assert results[0]["checksum"] == results[1]["checksum"]
+
+
+EVAL_WORKER = r'''
+import json, os, sys
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+out_path = sys.argv[3]
+ffpp_root = sys.argv[4]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["DFD_VIDEO_BACKEND"] = "opencv"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=proc_id)
+import numpy as np
+sys.path.insert(0, REPO)
+sys.path.insert(0, REPO + "/tests")
+from fixtures import ffpp_config, tiny_detector
+from dfd_clip_tpu.data.datasets import FFPP
+from dfd_clip_tpu.engine import Trainer
+from dfd_clip_tpu.engine.evaluator import Evaluator
+from dfd_clip_tpu.runtime import MeshRuntime
+
+runtime = MeshRuntime()
+det = tiny_detector()
+train_ds = FFPP(ffpp_config(ffpp_root), num_frames=4, clip_duration=2,
+                runtime=runtime, split="train", index=0, seed=0)
+eval_ds = FFPP(ffpp_config(ffpp_root), num_frames=4, clip_duration=2,
+               runtime=runtime, split="val", index=0, seed=0)
+tcfg = Trainer.get_default_config()
+tcfg.max_steps = 1
+tcfg.batch_size = 2
+tcfg.num_workers = 0
+trainer = Trainer(tcfg, runtime, det, [train_ds], seed=0)
+trainer.run()
+
+ecfg = Evaluator.get_default_config()
+# global batch 3*4=12 over the 16-sample val set (8 REAL then 8 fake):
+# batch 1 mixes labels across ranks, batch 2 is a ragged 4-row tail with 8
+# padding rows -- both failure modes of naive local-shard label slicing
+ecfg.batch_size = 3
+ecfg.num_workers = 0
+ev = Evaluator(ecfg, runtime, [eval_ds])
+gathered = {"losses": [], "logits": [], "labels": []}
+def collect(agent):
+    # fixed-shape local shards through the collective; valid mask drops the
+    # padding rows after the gather (the production update_metrics contract)
+    l, g, y, v = runtime.gather_for_metrics(
+        (agent.batch_losses, agent.batch_logits, agent.batch_labels,
+         agent.batch_valid))
+    name = list(l)[0]
+    keep = np.asarray(v[name])
+    gathered["losses"].append(np.asarray(l[name])[keep])
+    gathered["logits"].append(np.asarray(g[name])[keep])
+    gathered["labels"].append(np.asarray(y[name])[keep])
+ev.add_callback("on_batch_end", collect)
+ev.run(trainer)
+
+losses = np.concatenate(gathered["losses"])
+logits = np.concatenate(gathered["logits"])
+labels = np.concatenate(gathered["labels"])
+# recompute the CE (default auc_roc loss: no smoothing/weights) from each
+# gathered (logit, label) pair; misaligned pairing across ranks breaks this
+z = logits - logits.max(-1, keepdims=True)
+logp = z - np.log(np.exp(z).sum(-1, keepdims=True))
+ce = -logp[np.arange(len(labels)), labels]
+with open(out_path, "w") as f:
+    json.dump({"proc": proc_id,
+               "n": int(len(labels)),
+               "labels": np.sort(labels).tolist(),
+               "max_err": float(np.abs(ce - losses).max())}, f)
+'''.replace("REPO", repr(REPO))
+
+
+@pytest.mark.skipif(os.environ.get("DFD_SKIP_MULTIHOST") == "1",
+                    reason="multihost test disabled")
+def test_two_process_evaluator_label_alignment(tmp_path, monkeypatch):
+    """Regression: each rank must pair its local loss/logit shard with its
+    OWN rows of the labels (and drop padding rows wherever they land)."""
+    from fixtures import make_ffpp_tree
+
+    monkeypatch.chdir(tmp_path)
+    root = make_ffpp_tree(str(tmp_path / "ffpp"))
+    worker = tmp_path / "worker.py"
+    worker.write_text(EVAL_WORKER)
+
+    port = "9931"
+    env = dict(os.environ, PYTHONPATH=REPO)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), port,
+             str(tmp_path / f"out{i}.json"), root],
+            env=env, cwd=str(tmp_path),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    outputs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, out[-2000:]
+
+    results = [json.load(open(tmp_path / f"out{i}.json")) for i in range(2)]
+    # same gathered view on every rank
+    assert results[0]["labels"] == results[1]["labels"]
+    # padding dropped: gathered sample count equals the true val-set size
+    from dfd_clip_tpu.data.datasets import FFPP
+    from fixtures import ffpp_config
+
+    os.environ.setdefault("DFD_VIDEO_BACKEND", "opencv")
+    ds = FFPP(ffpp_config(root), num_frames=4, clip_duration=2,
+              runtime=None, split="val", index=0, seed=0)
+    assert results[0]["n"] == len(ds)
+    # per-sample loss must equal CE recomputed from the paired (logit, label)
+    assert results[0]["max_err"] < 1e-4, results[0]["max_err"]
