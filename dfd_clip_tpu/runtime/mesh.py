@@ -158,3 +158,35 @@ class MeshRuntime:
             ),
             tree,
         )
+
+    def gather_ragged(self, tree: Any) -> Any:
+        """Gather per-process arrays whose leading dim DIFFERS across ranks.
+
+        ``gather_for_metrics``/``process_allgather`` require identical shard
+        shapes on every process (unequal shapes deadlock the collective), so
+        ragged results — e.g. per-rank video shards of an unevenly divided
+        test set (inference.py) — are padded to the all-rank maximum, gathered
+        once, and trimmed per segment. Identity on one process.
+        """
+        if jax.process_count() == 1:
+            return jax.tree_util.tree_map(np.asarray, tree)
+        from jax.experimental import multihost_utils
+
+        def gather_one(x):
+            x = np.asarray(x)
+            counts = np.asarray(multihost_utils.process_allgather(
+                np.asarray([x.shape[0]], np.int64)
+            )).reshape(-1)
+            cap = int(counts.max())
+            if cap == 0:
+                return x.reshape((0,) + x.shape[1:])
+            pad_shape = (cap - x.shape[0],) + x.shape[1:]
+            padded = np.concatenate([x, np.zeros(pad_shape, x.dtype)])
+            full = np.asarray(multihost_utils.process_allgather(padded)).reshape(
+                (-1, cap) + x.shape[1:]
+            )
+            return np.concatenate(
+                [full[p, : counts[p]] for p in range(len(counts))]
+            )
+
+        return jax.tree_util.tree_map(gather_one, tree)

@@ -116,8 +116,12 @@ def main(args):
             runtime=runtime, split="test", index=config.target_task,
         )
         stats[ds_cfg.name] = {"label": [], "prob": []}
+        # rank-strided video shard: each process scores its own slice and the
+        # results are assembled once at the end (ragged-safe gather)
         loader = DataLoader(test_dataset, batch_size=1,
-                            num_workers=args.num_workers, collate_fn=lambda b: b[0])
+                            num_workers=args.num_workers, collate_fn=lambda b: b[0],
+                            num_shards=runtime.num_processes,
+                            shard_index=runtime.process_index)
         logging.info("Dataset %s initialized with %d samples",
                      type(test_dataset).__name__, len(test_dataset))
 
@@ -151,6 +155,7 @@ def main(args):
             return label, [(jax.device_put(x), jax.device_put(m), nv)
                            for x, m, nv in parts]
 
+        local_probs, local_labels = [], []
         for label, parts in prefetch_iter(sub_batches(), place):
             logits = []
             for xd, md, n_valid in parts:
@@ -160,25 +165,29 @@ def main(args):
             p = _softmax(logits)
 
             if args.modality == "clip":
-                pred_prob = p
-                pred_label = p.argmax(-1)
-                labels = np.asarray(label)
+                local_probs.append(p)
+                local_labels.append(np.asarray(label))
             elif args.modality == "video":
-                pred_prob = p.mean(0, keepdims=True)
-                pred_label = pred_prob.argmax(-1)
-                labels = np.asarray([label[0]])
+                local_probs.append(p.mean(0, keepdims=True))
+                local_labels.append(np.asarray([label[0]]))
             else:
                 raise NotImplementedError(args.modality)
 
-            pred_prob, pred_label, labels = runtime.gather_for_metrics(
-                (pred_prob, pred_label, labels)
-            )
-            stats[ds_cfg.name]["label"] += labels.tolist()
-            stats[ds_cfg.name]["prob"] += pred_prob[:, 1].tolist()
+        # one ragged-safe gather for the whole shard (per-rank video counts
+        # and clip counts differ; per-video collectives would deadlock)
+        pred_prob, labels = runtime.gather_ragged((
+            np.concatenate(local_probs) if local_probs
+            else np.zeros((0, 2), np.float32),
+            np.concatenate(local_labels) if local_labels
+            else np.zeros((0,), np.int64),
+        ))
+        pred_label = pred_prob.argmax(-1)
+        stats[ds_cfg.name]["label"] += labels.tolist()
+        stats[ds_cfg.name]["prob"] += pred_prob[:, 1].tolist()
 
-            if runtime.is_main_process:
-                accuracy_calc.add_batch(pred_label, pred_prob, labels)
-                roc_auc_calc.add_batch(pred_label, pred_prob, labels)
+        if runtime.is_main_process:
+            accuracy_calc.add_batch(pred_label, pred_prob, labels)
+            roc_auc_calc.add_batch(pred_label, pred_prob, labels)
 
         if runtime.is_main_process:
             # sentinel batch (reference inference.py:159-160)
@@ -192,14 +201,15 @@ def main(args):
                 "roc_auc": roc_auc,
             }
 
-    timestamp = datetime.now().strftime("%m%dT%H%M")
-    with open(path.join(root, f"report_{timestamp}_{args.weight_mode}_{args.modality}.json"), "w") as f:
-        json.dump(report, f, sort_keys=True, indent=4, separators=(",", ": "))
-    with open(path.join(root, f"stats_{timestamp}_{args.weight_mode}_{args.modality}.pickle"), "wb") as f:
-        pickle.dump(stats, f)
+    if runtime.is_main_process:
+        timestamp = datetime.now().strftime("%m%dT%H%M")
+        with open(path.join(root, f"report_{timestamp}_{args.weight_mode}_{args.modality}.json"), "w") as f:
+            json.dump(report, f, sort_keys=True, indent=4, separators=(",", ": "))
+        with open(path.join(root, f"stats_{timestamp}_{args.weight_mode}_{args.modality}.pickle"), "wb") as f:
+            pickle.dump(stats, f)
 
-    send_to_telegram(f"Inference for '{root.split('/')[-1]}' Complete!")
-    send_to_telegram(json.dumps(report, sort_keys=True, indent=4, separators=(",", ": ")))
+        send_to_telegram(f"Inference for '{root.split('/')[-1]}' Complete!")
+        send_to_telegram(json.dumps(report, sort_keys=True, indent=4, separators=(",", ": ")))
     return report
 
 

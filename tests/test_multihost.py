@@ -207,3 +207,70 @@ def test_two_process_evaluator_label_alignment(tmp_path, monkeypatch):
     assert results[0]["n"] == len(ds)
     # per-sample loss must equal CE recomputed from the paired (logit, label)
     assert results[0]["max_err"] < 1e-4, results[0]["max_err"]
+
+
+INFER_WORKER = r'''
+import json, os, sys
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+run_dir = sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["DFD_VIDEO_BACKEND"] = "opencv"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=proc_id)
+sys.path.insert(0, REPO)
+sys.path.insert(0, REPO + "/tests")
+import argparse
+import inference
+report = inference.main(argparse.Namespace(
+    artifacts_dir=run_dir, batch_size=4, aux_file=None, weight_mode="best",
+    modality="video", num_workers=0, test=False, cfg_name="setting"))
+with open(f"infer_out{proc_id}.json", "w") as f:
+    json.dump(report, f)
+'''.replace("REPO", repr(REPO))
+
+
+@pytest.mark.skipif(os.environ.get("DFD_SKIP_MULTIHOST") == "1",
+                    reason="multihost test disabled")
+def test_two_process_inference_matches_single(tmp_path, monkeypatch):
+    """Sharded 2-process inference must reproduce the single-process report
+    exactly (rank-strided video shards + one ragged gather at the end)."""
+    import argparse
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("DFD_VIDEO_BACKEND", "opencv")
+    from fixtures import make_ffpp_tree
+    from test_e2e import _write_e2e_config
+
+    sys.path.insert(0, REPO)
+    import main as main_mod
+
+    root = make_ffpp_tree(str(tmp_path / "ffpp"))
+    cfg_path = _write_e2e_config(tmp_path, root)
+    run_dir = main_mod.main(argparse.Namespace(cfg=cfg_path, debug=False, test=False))
+
+    import inference
+    single = inference.main(argparse.Namespace(
+        artifacts_dir=run_dir, batch_size=4, aux_file=None, weight_mode="best",
+        modality="video", num_workers=0, test=False, cfg_name="setting"))
+
+    worker = tmp_path / "infer_worker.py"
+    worker.write_text(INFER_WORKER)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "9937", run_dir],
+            env=env, cwd=str(tmp_path),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    outputs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, out[-2000:]
+
+    multi = json.load(open(tmp_path / "infer_out0.json"))
+    assert multi == single, (multi, single)
