@@ -27,14 +27,20 @@ class TrainStateCheckpointer:
         self.directory = directory
         self.keep = keep
         self._ocp = None
-        try:
-            import orbax.checkpoint as ocp
+        self._checkpointer = None
+        # Orbax's save/restore issue their own cross-process barriers and
+        # collectives; called from one rank (or interleaved with the train
+        # loop's Gloo collectives on other ranks) they corrupt collective
+        # pairing. Multi-process runs therefore use the collective-free
+        # pickle format: rank 0 writes plain files, every rank reads locally.
+        if jax.process_count() == 1:
+            try:
+                import orbax.checkpoint as ocp
 
-            self._ocp = ocp
-            self._checkpointer = ocp.StandardCheckpointer()
-        except Exception as e:  # fall back to pickle if orbax misbehaves
-            logger.warning("orbax unavailable (%s); using pickle checkpoints", e)
-            self._checkpointer = None
+                self._ocp = ocp
+                self._checkpointer = ocp.StandardCheckpointer()
+            except Exception as e:  # fall back to pickle if orbax misbehaves
+                logger.warning("orbax unavailable (%s); using pickle checkpoints", e)
 
     def _step_dir(self, step: int) -> str:
         return os.path.join(self.directory, f"step_{step:08d}")
@@ -83,11 +89,22 @@ class TrainStateCheckpointer:
             return None
         path = self._step_dir(steps[-1])
         if self._checkpointer is not None and os.path.isdir(os.path.join(path, "arrays")):
+            # dtype via attribute when present: np.asarray on a cross-process
+            # sharded template leaf (FSDP params) would raise
             abstract = jax.tree_util.tree_map(
-                lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), template
+                lambda x: jax.ShapeDtypeStruct(
+                    np.shape(x), getattr(x, "dtype", None) or np.asarray(x).dtype
+                ),
+                template,
             )
             arrays = self._checkpointer.restore(
                 os.path.join(os.path.abspath(path), "arrays"), abstract
+            )
+        elif os.path.isdir(os.path.join(path, "arrays")):
+            raise RuntimeError(
+                f"{path} is an Orbax-format checkpoint but this run is "
+                f"multi-process ({jax.process_count()} ranks), which uses the "
+                "pickle format; resume it single-process or convert it."
             )
         else:
             with open(os.path.join(path, "arrays.pkl"), "rb") as f:

@@ -204,8 +204,10 @@ class CompInvEvaluator(_Evaluator):
                 recon, match = self._eval_fn_cache(
                     trainer.trainable, trainer.frozen, arrays["x"], arrays["c"]
                 )
-                self.batch_losses["recon"] = np.asarray(recon)
-                self.batch_losses["match"] = np.asarray(match)
+                # local-shard host views (np.asarray would raise on the
+                # cross-process-sharded outputs of a multi-host mesh)
+                self.batch_losses["recon"] = self.runtime.to_host(recon)
+                self.batch_losses["match"] = self.runtime.to_host(match)
 
             self.batch_num += 1
             self.batch_loss_info = ",".join(

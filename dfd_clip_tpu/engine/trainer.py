@@ -514,8 +514,9 @@ class CompInvTrainer(_Trainer):
                     self.trainable, self.frozen, self.opt_state,
                     arrays["x"], arrays["comp_is_raw"], sub,
                 )
-                self.batch_losses["recon"] = np.asarray(recon)
-                self.batch_losses["match"] = np.asarray(match)
+                # local-shard host views (multi-host-safe; see Evaluator)
+                self.batch_losses["recon"] = self.runtime.to_host(recon)
+                self.batch_losses["match"] = self.runtime.to_host(match)
 
             self.steps += 1
             self.batch_loss_info = ",".join(

@@ -190,3 +190,31 @@ class MeshRuntime:
             )
 
         return jax.tree_util.tree_map(gather_one, tree)
+
+    def barrier(self, name: str) -> None:
+        """Named cross-process barrier. Symmetric (every rank must call it
+        with the same name) — used to fence rank-asymmetric host work like
+        checkpoint writes off the subsequent collectives."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(name)
+
+    def materialize(self, tree: Any) -> Any:
+        """Full host (numpy) value of every leaf, including cross-process
+        sharded jax.Arrays (e.g. FSDP params at checkpoint time).
+
+        COLLECTIVE in multi-process runs: non-addressable leaves are
+        all-gathered on device into a replicated layout first, so EVERY
+        process must call this (never from inside an is_main_process guard).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self.mesh, P())
+
+        def one(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                x = jax.jit(lambda a: a, out_shardings=rep)(x)
+            return np.asarray(x)
+
+        return jax.tree_util.tree_map(one, tree)

@@ -116,6 +116,7 @@ class SSLTrainer:
         # (the TPU analog of the reference's FULL_SHARD FSDP,
         # dinov2/fsdp/__init__.py:23-55).
         place = self._shard_params if config.get("fsdp", 0) else runtime.replicate
+        self._place = place
         self.student = place(self.student)
         self.teacher = place(self.teacher)
         self.centers = runtime.replicate(self.centers)
@@ -169,12 +170,15 @@ class SSLTrainer:
             restored = self.checkpointer.restore_latest(self._arrays())
             if restored is not None:
                 arrays, aux = restored
-                self.student = runtime.replicate(arrays["student"])
-                self.teacher = runtime.replicate(arrays["teacher"])
+                # re-establish the TRAINING placement (fsdp P('data') or
+                # replicated, matching init) — plain replication of fsdp
+                # params would recompile the donated step and unshard storage
+                self.student = self._place(arrays["student"])
+                self.teacher = self._place(arrays["teacher"])
                 self.centers = runtime.replicate(arrays["centers"])
                 self.opt_state = jax.tree_util.tree_unflatten(
                     jax.tree_util.tree_structure(self.opt_state),
-                    jax.tree_util.tree_leaves(runtime.replicate(arrays["opt_state"])),
+                    jax.tree_util.tree_leaves(self._place(arrays["opt_state"])),
                 )
                 self.start_step = aux["step"]
 
@@ -293,13 +297,14 @@ class SSLTrainer:
                 self.tracker.log({f"ssl/{k}": v for k, v in last_metrics.items()},
                                  step=step)
             if (self.checkpointer and cfg.checkpoint_interval
-                    and (step + 1) % cfg.checkpoint_interval == 0
-                    and self.runtime.is_main_process):
-                from ..models import weights as weights_lib
-
-                self.checkpointer.save(
-                    step + 1, weights_lib.to_numpy_tree(self._arrays()), {}
-                )
+                    and (step + 1) % cfg.checkpoint_interval == 0):
+                # materialize is a COLLECTIVE (all-gathers FSDP shards on
+                # device): every rank participates, rank 0 writes, then a
+                # barrier so no rank races past an in-progress write
+                host_tree = self.runtime.materialize(self._arrays())
+                if self.runtime.is_main_process:
+                    self.checkpointer.save(step + 1, host_tree, {})
+                self.runtime.barrier(f"ssl_ckpt_{step + 1}")
             if step % 10 == 0:
                 self.runtime.print(f"ssl step {step}: {last_metrics}")
         return last_metrics

@@ -107,13 +107,18 @@ def main():
     metrics = trainer.run()
     runtime.print("final:", metrics)
 
-    # export the teacher backbone (the eval-ready weights, dinov2 convention)
+    # export the teacher backbone (the eval-ready weights, dinov2 convention);
+    # materialize is collective (all-gathers fsdp shards) -> every rank calls
+    # it, rank 0 writes
     from dfd_clip_tpu.models import weights as weights_lib
 
-    weights_lib.save_params(
-        os.path.join(args.out_dir, "teacher_backbone.pt"),
-        {"backbone": weights_lib.to_numpy_tree(trainer.teacher["backbone"])},
-    )
+    backbone = runtime.materialize(trainer.teacher["backbone"])
+    if runtime.is_main_process:
+        weights_lib.save_params(
+            os.path.join(args.out_dir, "teacher_backbone.pt"),
+            {"backbone": backbone},
+        )
+    runtime.barrier("ssl_export")
     runtime.print(f"teacher backbone saved to {args.out_dir}/teacher_backbone.pt")
 
 

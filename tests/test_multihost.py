@@ -274,3 +274,105 @@ def test_two_process_inference_matches_single(tmp_path, monkeypatch):
 
     multi = json.load(open(tmp_path / "infer_out0.json"))
     assert multi == single, (multi, single)
+
+
+SSL_WORKER = r'''
+import json, os, sys
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+out_path = sys.argv[3]
+ckpt_dir = sys.argv[4]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=proc_id)
+import numpy as np
+sys.path.insert(0, REPO)
+from dfd_clip_tpu.models.clip_vit import ViTConfig
+from dfd_clip_tpu.runtime import MeshRuntime
+from dfd_clip_tpu.ssl.train import SSLTrainer
+
+TINY_ARCH = ViTConfig(input_resolution=28, patch_size=14, width=32, layers=2,
+                      heads=2, output_dim=32)
+
+class SyntheticImages:
+    def __init__(self, n=16, size=64):
+        self.n, self.size = n, size
+    def __len__(self):
+        return self.n
+    def __getitem__(self, i):
+        r = np.random.default_rng(i)
+        return r.integers(0, 255, (self.size, self.size, 3), dtype=np.uint8)
+
+runtime = MeshRuntime()
+cfg = SSLTrainer.get_default_config()
+cfg.batch_size = 1
+cfg.max_steps = 2
+cfg.out_dim = 64
+cfg.n_local_crops = 2
+cfg.local_size = 28
+cfg.warmup_steps = 1
+cfg.warmup_teacher_temp_steps = 1
+cfg.checkpoint_interval = 2
+cfg.checkpoint_dir = ckpt_dir
+cfg.fsdp = 1  # cross-process P('data') param storage
+
+trainer = SSLTrainer(cfg, runtime, SyntheticImages(size=64), arch=TINY_ARCH)
+metrics = trainer.run()  # saves at step 2: materialize() all-gathers shards
+assert np.isfinite(metrics["total"])
+
+# resume in-process: restore + re-shard must reproduce the saved state
+trainer2 = SSLTrainer(cfg, runtime, SyntheticImages(size=64), arch=TINY_ARCH)
+checksum = float(sum(
+    np.float64(np.sum(runtime.materialize(l)))
+    for l in jax.tree_util.tree_leaves(trainer2.student)
+))
+with open(out_path, "w") as f:
+    json.dump({"proc": proc_id, "start_step": trainer2.start_step,
+               "checksum": checksum}, f)
+'''.replace("REPO", repr(REPO))
+
+
+@pytest.mark.skipif(os.environ.get("DFD_SKIP_MULTIHOST") == "1",
+                    reason="multihost test disabled")
+def test_two_process_ssl_fsdp_checkpoint(tmp_path, monkeypatch):
+    """FSDP checkpoint save under 2 processes: materialize() all-gathers the
+    cross-process shards (rank 0 alone cannot np.asarray them), restore
+    re-establishes the fsdp placement, and both ranks agree on the state."""
+    import shutil
+
+    monkeypatch.chdir(tmp_path)
+    worker = tmp_path / "ssl_worker.py"
+    worker.write_text(SSL_WORKER)
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    # XLA's Gloo clique-init timeout is a hard-coded 30s; on a 1-core host a
+    # rank can still be COMPILING past that while its peer waits at the first
+    # collective. That's load flakiness, not product logic -> retry once on
+    # that specific signature (fresh port; stale TIME_WAIT sockets otherwise).
+    for attempt, port in enumerate(["9943", "9953"]):
+        shutil.rmtree(tmp_path / "ckpt", ignore_errors=True)
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(i), port,
+                 str(tmp_path / f"out{i}.json"), str(tmp_path / "ckpt")],
+                env=env, cwd=str(tmp_path),
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+            for i in range(2)
+        ]
+        outputs = [p.communicate(timeout=600)[0].decode() for p in procs]
+        gloo_flake = any(
+            p.returncode != 0 and "Gloo context initialization failed" in out
+            for p, out in zip(procs, outputs)
+        )
+        if not gloo_flake or attempt:
+            break
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, out[-2000:]
+
+    results = [json.load(open(tmp_path / f"out{i}.json")) for i in range(2)]
+    assert all(r["start_step"] == 2 for r in results)
+    assert results[0]["checksum"] == results[1]["checksum"]
