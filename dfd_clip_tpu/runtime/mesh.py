@@ -191,6 +191,20 @@ class MeshRuntime:
 
         return jax.tree_util.tree_map(gather_one, tree)
 
+    def broadcast_str(self, s: str, max_bytes: int = 1024) -> str:
+        """Broadcast a (short) string from process 0 to all processes, so
+        rank-dependent decisions (run-dir timestamps, version probes) cannot
+        fork across ranks. Identity on one process."""
+        if jax.process_count() == 1:
+            return s
+        from jax.experimental import multihost_utils
+
+        buf = np.zeros((max_bytes,), np.uint8)
+        raw = s.encode()[:max_bytes]
+        buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+        out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+        return bytes(out[out != 0]).decode()
+
     def barrier(self, name: str) -> None:
         """Named cross-process barrier. Symmetric (every rank must call it
         with the same name) — used to fence rank-asymmetric host work like

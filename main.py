@@ -264,6 +264,11 @@ def init_runtime(config):
         PROJECT_DIR = os.path.join(tracking_root, project_name,
                                    datetime.now().strftime("%m%dT%H%M"))
 
+    # the version probe and minute-resolution timestamp are rank-dependent
+    # (dir-listing races, minute boundaries): rank 0 decides, all follow
+    PROJECT_DIR = runtime.broadcast_str(PROJECT_DIR)
+    project_name = runtime.broadcast_str(project_name)
+
     os.makedirs(PROJECT_DIR, exist_ok=True)
     if runtime.is_main_process:
         with open(os.path.join(PROJECT_DIR, "setting.yaml"), "w") as f:
