@@ -83,8 +83,11 @@ def _probe_video_table(root: str, subdir: str, vid_ext: str, cache_name: str,
                     print(f"Error Occur During Video Table Creation: {fpath} ({e})")
         if runtime.is_main_process:
             makedirs(path.dirname(video_cache), exist_ok=True)
-            with open(video_cache, "wb") as f:
+            # atomic publish: another rank may poll isfile() concurrently
+            tmp = f"{video_cache}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
                 pickle.dump(video_metas, f)
+            os.replace(tmp, video_cache)
     # absolute paths
     for idx in video_metas:
         video_metas[idx] = dict(video_metas[idx])
