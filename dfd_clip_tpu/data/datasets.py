@@ -29,7 +29,7 @@ import os
 import pickle
 import threading
 from os import path, makedirs
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import numpy as np
 

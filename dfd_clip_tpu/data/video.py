@@ -21,7 +21,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import urllib.parse
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -8,7 +8,7 @@ shapes static (SURVEY.md §7 "ragged/packed eval" hard part).
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict
 
 import jax
 import numpy as np

@@ -18,7 +18,7 @@ reference's inverted ratio semantics, kept verbatim) runs jitted on device.
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

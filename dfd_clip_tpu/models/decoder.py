@@ -16,7 +16,7 @@ Supported op_mode flags (src/models.py:105-115, 250-269, 307-321, 326-329):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

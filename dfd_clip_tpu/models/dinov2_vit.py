@@ -16,7 +16,6 @@ load time, since input resolution is static under jit.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict
 
 import jax

@@ -12,7 +12,6 @@ can be slotted in behind the same signature (see ops/pallas_attention.py).
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax

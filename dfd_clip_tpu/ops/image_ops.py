@@ -10,7 +10,7 @@ resize + crop + normalization fused into the first conv's input.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

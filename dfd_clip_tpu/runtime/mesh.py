@@ -16,7 +16,6 @@ Axes:
 from __future__ import annotations
 
 import logging
-import os
 from typing import Any, Optional, Sequence
 
 import jax

@@ -16,7 +16,6 @@ chain (facexlib -> face_alignment -> Haar-template fallback).
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 from os import path
 
