@@ -10,9 +10,41 @@ gather rather than torch.distributed.
 from __future__ import annotations
 
 import datetime
+import logging
+import os
+import sys
 import time
 from collections import defaultdict, deque
 from typing import Dict, Iterable, Iterator, Optional
+
+
+def setup_logging(output_dir: Optional[str] = None, level: int = logging.INFO) -> None:
+    """Process-aware logging setup (dinov2/logging/__init__.py:20-103
+    semantics): every rank writes its own ``log.rank<k>.txt`` under
+    ``output_dir``; only rank 0 also logs to stdout. Idempotent."""
+    import jax
+
+    root = logging.getLogger()
+    if getattr(root, "_dfd_configured", False):
+        return
+    root._dfd_configured = True  # type: ignore[attr-defined]
+    for h in list(root.handlers):  # supersede any earlier basicConfig
+        root.removeHandler(h)
+    root.setLevel(level)
+    fmt = logging.Formatter(
+        "%(levelname).1s%(asctime)s %(name)s:%(lineno)d] %(message)s",
+        datefmt="%Y%m%d %H:%M:%S",
+    )
+    rank = jax.process_index()
+    if rank == 0:
+        h = logging.StreamHandler(sys.stdout)
+        h.setFormatter(fmt)
+        root.addHandler(h)
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        f = logging.FileHandler(os.path.join(output_dir, f"log.rank{rank}.txt"))
+        f.setFormatter(fmt)
+        root.addHandler(f)
 
 
 class SmoothedValue:

@@ -274,6 +274,9 @@ def init_runtime(config):
         with open(os.path.join(PROJECT_DIR, "setting.yaml"), "w") as f:
             f.write(config.dump())
 
+    from dfd_clip_tpu.utils.logging import setup_logging
+
+    setup_logging(PROJECT_DIR)  # per-rank log files; rank 0 also -> stdout
     tracker = Tracker(PROJECT_DIR, enabled=config.tracking.enabled, project=project_name)
     return runtime, tracker
 

@@ -99,6 +99,9 @@ def main():
         raise SystemExit("one of --data_dir / --synthetic is required")
 
     os.makedirs(args.out_dir, exist_ok=True)
+    from dfd_clip_tpu.utils.logging import setup_logging
+
+    setup_logging(args.out_dir)  # per-rank log files; rank 0 also -> stdout
     tracker = Tracker(args.out_dir, enabled=False)
     with open(os.path.join(args.out_dir, "setting.yaml"), "w") as f:
         f.write(cfg.dump())
