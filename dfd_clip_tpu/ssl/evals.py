@@ -53,6 +53,7 @@ def knn_classify(
 ) -> np.ndarray:
     """Weighted cosine-kNN vote (dinov2/eval/knn.py semantics)."""
     num_classes = num_classes or int(train_labels.max()) + 1
+    k = min(k, len(train_feats))  # tiny gallery: vote over what exists
 
     def normalize(f):
         return f / (np.linalg.norm(f, axis=-1, keepdims=True) + 1e-8)
@@ -167,3 +168,101 @@ def train_logistic_regression(
         return np.asarray(jnp.argmax(logits, axis=-1))
 
     return predict
+
+
+def train_linear_probe_grid(
+    train_feats: np.ndarray,
+    train_labels: np.ndarray,
+    num_classes: int,
+    lrs: Optional[np.ndarray] = None,
+    weight_decays: Optional[np.ndarray] = None,
+    val_fraction: float = 0.1,
+    epochs: int = 50,
+    batch_size: int = 256,
+    seed: int = 0,
+) -> Tuple[Dict, Callable, Dict]:
+    """Jointly train a GRID of linear classifiers over (lr, weight_decay).
+
+    The TPU-idiomatic analog of dinov2/eval/linear.py's ``AllClassifiers``
+    (a dict of heads trained in one DDP module, :429): every (lr, wd) member
+    is an independent (w, b) trained in ONE jitted vmapped SGD step, so the
+    whole grid costs one pass over the features. The best member by held-out
+    accuracy is returned as (params, predict_fn, report).
+    """
+    if lrs is None:
+        lrs = np.array([1e-3, 3e-3, 1e-2, 3e-2, 1e-1], np.float32)
+    if weight_decays is None:
+        weight_decays = np.array([0.0, 1e-4], np.float32)
+    grid = [(float(lr), float(wd)) for lr in lrs for wd in weight_decays]
+    g = len(grid)
+    lr_arr = jnp.asarray([p[0] for p in grid])
+    wd_arr = jnp.asarray([p[1] for p in grid])
+
+    rng = np.random.default_rng(seed)
+    n = len(train_feats)
+    order = rng.permutation(n)
+    n_val = max(1, int(n * val_fraction))
+    val_idx, tr_idx = order[:n_val], order[n_val:]
+    xs, ys = train_feats[tr_idx], train_labels[tr_idx]
+    d = train_feats.shape[1]
+
+    params = {
+        "w": jnp.zeros((g, d, num_classes), jnp.float32),
+        "b": jnp.zeros((g, num_classes), jnp.float32),
+    }
+    mom = jax.tree_util.tree_map(jnp.zeros_like, params)
+    steps_per_epoch = max(1, (len(xs) + batch_size - 1) // batch_size)
+    total_steps = epochs * steps_per_epoch
+
+    @jax.jit
+    def step(params, mom, x, y, t):
+        # cosine decay shared across members; base lr per member
+        scale = 0.5 * (1.0 + jnp.cos(jnp.pi * t / total_steps))
+
+        def member_grads(w, b, wd):
+            def loss_fn(wb):
+                logits = x @ wb[0] + wb[1]
+                return jnp.mean(
+                    optax.softmax_cross_entropy_with_integer_labels(logits, y)
+                )
+
+            gw, gb = jax.grad(loss_fn)((w, b))
+            return gw + wd * w, gb
+
+        gw, gb = jax.vmap(member_grads)(params["w"], params["b"], wd_arr)
+        new_mom = {"w": 0.9 * mom["w"] + gw, "b": 0.9 * mom["b"] + gb}
+        lr_t = lr_arr * scale
+        params = {
+            "w": params["w"] - lr_t[:, None, None] * new_mom["w"],
+            "b": params["b"] - lr_t[:, None] * new_mom["b"],
+        }
+        return params, new_mom
+
+    t = 0
+    for _ in range(epochs):
+        ep_order = rng.permutation(len(xs))
+        for i in range(0, len(xs) - len(xs) % batch_size or len(xs), batch_size):
+            idx = ep_order[i : i + batch_size]
+            params, mom = step(params, mom, jnp.asarray(xs[idx]),
+                               jnp.asarray(ys[idx]), jnp.asarray(t, jnp.float32))
+            t += 1
+
+    # held-out selection across the whole grid in one matmul
+    val_logits = jnp.einsum("nd,gdc->gnc", jnp.asarray(train_feats[val_idx]),
+                            params["w"]) + params["b"][:, None, :]
+    val_acc = jnp.mean(
+        (jnp.argmax(val_logits, -1) == jnp.asarray(train_labels[val_idx])[None]),
+        axis=-1,
+    )
+    best = int(jnp.argmax(val_acc))
+    best_params = {"w": params["w"][best], "b": params["b"][best]}
+    report = {
+        f"lr{lr:g}_wd{wd:g}": float(val_acc[i]) for i, (lr, wd) in enumerate(grid)
+    }
+    report["best"] = f"lr{grid[best][0]:g}_wd{grid[best][1]:g}"
+
+    def predict(feats: np.ndarray) -> np.ndarray:
+        logits = jnp.asarray(feats) @ best_params["w"] + best_params["b"]
+        return np.asarray(jnp.argmax(logits, axis=-1))
+
+    return best_params, predict, report

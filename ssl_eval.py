@@ -44,7 +44,7 @@ def main():
     parser.add_argument("--train_dir", required=True, type=str)
     parser.add_argument("--test_dir", required=True, type=str)
     parser.add_argument("--mode", nargs="+", default=["knn"],
-                        choices=["knn", "linear", "logreg"])
+                        choices=["knn", "linear", "linear-grid", "logreg"])
     parser.add_argument("--size", type=int, default=224)
     parser.add_argument("--knn_k", type=int, default=20)
     args = parser.parse_args()
@@ -74,6 +74,11 @@ def main():
     if "linear" in args.mode:
         _, predict = evals.train_linear_probe(train_f, train_y, len(classes))
         results["linear_top1"] = float((predict(test_f) == test_y).mean())
+    if "linear-grid" in args.mode:
+        _, predict, grid_report = evals.train_linear_probe_grid(
+            train_f, train_y, len(classes))
+        results["linear_grid_top1"] = float((predict(test_f) == test_y).mean())
+        results["linear_grid_best"] = grid_report["best"]
     if "logreg" in args.mode:
         predict = evals.train_logistic_regression(train_f, train_y, len(classes))
         results["logreg_top1"] = float((predict(test_f) == test_y).mean())

@@ -321,3 +321,19 @@ def test_infinite_sampler_shards_and_advances():
     ref = [next(it_ref) for _ in range(8)]
     adv = [next(it_adv) for _ in range(6)]
     assert adv == ref[2:]
+
+
+def test_linear_probe_grid(blob_features):
+    from dfd_clip_tpu.ssl import evals
+
+    feats, labels = blob_features
+    train_f, train_y = feats[:90], labels[:90]
+    test_f, test_y = feats[90:], labels[90:]
+    params, predict, report = evals.train_linear_probe_grid(
+        train_f, train_y, num_classes=int(labels.max()) + 1,
+        epochs=20, batch_size=64, seed=0,
+    )
+    acc = float((predict(test_f) == test_y).mean())
+    assert acc > 0.9, (acc, report)
+    # one entry per grid member + the winner tag
+    assert report["best"] in report and len(report) == 11
