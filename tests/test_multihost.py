@@ -44,6 +44,8 @@ cfg = Trainer.get_default_config()
 cfg.max_steps = 1
 cfg.batch_size = 2  # per replica x 4 devices = global 8
 cfg.num_workers = 0
+cfg.checkpoint_interval = 1  # exercise the multi-process save path too
+cfg.checkpoint_dir = "trainer_ckpt"
 trainer = Trainer(cfg, runtime, det, [ds], seed=0)
 trainer.run()
 losses = {k: np.asarray(v).tolist() for k, v in trainer.batch_losses.items()}
@@ -52,9 +54,18 @@ losses = {k: np.asarray(v).tolist() for k, v in trainer.batch_losses.items()}
 checksum = float(sum(
     np.float64(np.sum(np.asarray(l))) for l in jax.tree_util.tree_leaves(trainer.trainable)
 ))
+# resume: rank 0 wrote the pickle checkpoint at step 1; every rank
+# restores it (fence off the write first) and must match the live state
+runtime.barrier("trainer_ckpt_written")
+trainer2 = Trainer(cfg, runtime, det, [ds], seed=0)
+resumed_checksum = float(sum(
+    np.float64(np.sum(np.asarray(l))) for l in jax.tree_util.tree_leaves(trainer2.trainable)
+))
 with open(out_path, "w") as f:
     json.dump({"proc": proc_id, "devices": jax.device_count(),
-               "losses": losses, "checksum": checksum}, f)
+               "losses": losses, "checksum": checksum,
+               "resumed_step": trainer2.start_step,
+               "resumed_checksum": resumed_checksum}, f)
 '''.replace("REPO", repr(REPO))
 
 
@@ -92,6 +103,9 @@ def test_two_process_training_step(tmp_path, monkeypatch):
     assert np.isfinite(a).all() and np.isfinite(b).all()
     # the psum-synced update leaves both ranks with identical weights
     assert results[0]["checksum"] == results[1]["checksum"]
+    # resume restores the exact trained state on every rank
+    assert all(r["resumed_step"] == 1 for r in results)
+    assert all(r["resumed_checksum"] == r["checksum"] for r in results)
 
 
 EVAL_WORKER = r'''
