@@ -281,6 +281,18 @@ def init_runtime(config):
     return runtime, tracker
 
 
+def category_index_map(train_cfgs) -> dict:
+    """Task index = FIRST-APPEARANCE order of categories in data.train, which
+    is what the YAML's losses/out_dim ordering encodes (mix.yaml lists rPPG
+    first and out_dim=[180, 2]). The reference uses ``enumerate(set(...))``
+    (main.py:218-221) whose str-set order is hash-randomized per process — a
+    genuine nondeterminism bug there; first-appearance is the intent."""
+    return {
+        cat: i
+        for i, cat in enumerate(dict.fromkeys(cfg.category for cfg in train_cfgs))
+    }
+
+
 def main(params):
     config = get_config(params)
     runtime, tracker = init_runtime(config)
@@ -293,9 +305,7 @@ def main(params):
     )
     load_pretrained_encoder(model, config)
 
-    category_index = {
-        cat: i for i, cat in enumerate(sorted({cfg.category for cfg in config.data.train}))
-    }
+    category_index = category_index_map(config.data.train)
     runtime.print("Task Indices:")
     for k, v in category_index.items():
         runtime.print(f"\t- {k} => {v}")

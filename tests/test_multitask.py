@@ -143,3 +143,20 @@ def test_multitask_teacher_mode(roots):
     assert trainer.steps == 3
     for v in trainer.batch_losses.values():
         assert np.isfinite(np.asarray(v)).all()
+
+
+def test_category_index_first_appearance():
+    """Task indices follow data.train first-appearance order (the YAML's
+    losses/out_dim ordering), NOT alphabetical or set order. Regression for
+    the cross-task recipe: rPPG listed first must be task 0 even though
+    'Deepfake' sorts before 'rPPG'."""
+    import sys
+    import types
+    from os import path
+
+    sys.path.insert(0, path.dirname(path.dirname(path.abspath(__file__))))
+    from main import category_index_map
+
+    cfgs = [types.SimpleNamespace(category=c)
+            for c in ("rPPG", "Deepfake", "rPPG")]
+    assert category_index_map(cfgs) == {"rPPG": 0, "Deepfake": 1}
