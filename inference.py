@@ -40,9 +40,19 @@ def get_config(cfg_file, args):
         preset = CN(yaml.safe_load(f), new_allowed=True)
 
     C = CN(new_allowed=True)
-    C.target_task = next(
-        i for i, d in enumerate(preset.data.eval) if d.category == "Deepfake"
-    )
+    # Deepfake task index via the SAME first-appearance-of-data.train rule
+    # that assigned indices at training time (main.category_index_map). The
+    # reference instead takes the Deepfake entry's POSITION in data.eval
+    # (inference.py:29) — wrong whenever eval order differs from the task
+    # order (e.g. an eval list without the rPPG set). Fall back to the
+    # reference rule only for setting files without a data.train section.
+    try:
+        cats = list(dict.fromkeys(d.category for d in preset.data.train))
+        C.target_task = cats.index("Deepfake")
+    except (AttributeError, KeyError, ValueError):
+        C.target_task = next(
+            i for i, d in enumerate(preset.data.eval) if d.category == "Deepfake"
+        )
 
     aux = None
     if args.aux_file:
