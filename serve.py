@@ -51,8 +51,16 @@ class Scorer:
         load_pretrained_encoder(self.model, wrapper)
         self.params = load_model_params(self.model, run_dir, weight_mode)
         self.batch_size = batch_size
+        # Deepfake head index: first-appearance order of data.train
+        # categories, matching training (main.category_index_map); single-task
+        # runs resolve to 0
+        try:
+            cats = list(dict.fromkeys(d.category for d in preset.data.train))
+            task = cats.index("Deepfake")
+        except (AttributeError, KeyError, ValueError):
+            task = 0
         self._predict = jax.jit(
-            lambda p, x, m: self.model.predict(p, x, m)[0][0]
+            lambda p, x, m: self.model.predict(p, x, m)[0][task]
         )
         self._lock = threading.Lock()
 
