@@ -135,6 +135,87 @@ def convert_clip_visual(sd: Dict[str, np.ndarray], cfg: ViTConfig) -> Params:
     }
 
 
+def convert_reference_decoder(sd: Dict[str, np.ndarray], cfg) -> Params:
+    """Reference Decoder state_dict -> our decoder params.
+
+    Interop with checkpoints trained by the reference (its Detector saves a
+    flat torch state_dict; the decoder lives under ``decoder.*`` there —
+    strip the prefix before calling). Key layout differences handled here:
+
+      * The dual-activation in_proj (src/models.py:130-136) reshapes its
+        output to (heads, n_act*head_dim) and splits per head, i.e. torch
+        columns are per-head [smax | coda] channel pairs. Our decoder splits
+        the 2*width output in half first (decoder.py apply_decoder), so the
+        columns are permuted to [all-smax | all-coda] head-major order.
+      * aug_query parameters (transformer.augment_query_{i}, each (width,))
+        are stacked into one (num_blocks-1, width) array.
+      * task projections proj{i}x{dim}[_L{layer}] become the nested list.
+
+    ``cfg`` is a decoder.DecoderConfig.
+    """
+    w, h, d = cfg.width, cfg.heads, cfg.head_dim
+
+    def dual_in_proj(prefix: str) -> Params:
+        wt = np.asarray(sd[f"{prefix}.weight"]).T.reshape(w, h, 2, d)
+        bt = np.asarray(sd[f"{prefix}.bias"]).reshape(h, 2, d)
+        return {
+            "w": jnp.asarray(
+                np.concatenate(
+                    [wt[:, :, 0].reshape(w, w), wt[:, :, 1].reshape(w, w)], axis=1
+                )
+            ),
+            "b": jnp.asarray(
+                np.concatenate([bt[:, 0].reshape(w), bt[:, 1].reshape(w)])
+            ),
+        }
+
+    blocks = []
+    for i in range(cfg.num_blocks):
+        b = f"transformer.resblocks.{i}"
+        blocks.append(
+            {
+                "ln_1": _ln(sd, f"{b}.ln_1"),
+                "attn": {
+                    "in_proj": dual_in_proj(f"{b}.attn.in_proj"),
+                    "out_proj": _lin(sd, f"{b}.attn.out_proj"),
+                },
+                "ln_2": _ln(sd, f"{b}.ln_2"),
+                "mlp": {
+                    "c_fc": _lin(sd, f"{b}.mlp.c_fc"),
+                    "c_proj": _lin(sd, f"{b}.mlp.c_proj"),
+                },
+            }
+        )
+
+    params: Params = {
+        "class_embedding": jnp.asarray(sd["class_embedding"]),
+        "ln_pre": _ln(sd, "ln_pre"),
+        "ln_post": _ln(sd, "ln_post"),
+        "blocks": blocks,
+    }
+    if cfg.temporal_position:
+        params["positional_embedding"] = jnp.asarray(sd["positional_embedding"])
+    if cfg.aug_query:
+        params["aug_query"] = jnp.stack(
+            [
+                jnp.asarray(sd[f"transformer.augment_query_{i}"])
+                for i in range(cfg.num_blocks - 1)
+            ]
+        )
+
+    task_projections = []
+    for t, out_dim in enumerate(cfg.out_dims):
+        if cfg.global_prediction:
+            mats = [
+                jnp.asarray(sd[f"proj{t}x{out_dim}_L{l}"]) for l in cfg.layer_indices
+            ]
+        else:
+            mats = [jnp.asarray(sd[f"proj{t}x{out_dim}"])]
+        task_projections.append(mats)
+    params["task_projections"] = task_projections
+    return params
+
+
 def infer_clip_vit_config(sd: Dict[str, np.ndarray]) -> ViTConfig:
     """Infer architecture from a CLIP state dict (src/clip/model.py:453-496)."""
     pre = "visual." if any(k.startswith("visual.") for k in sd) else ""
