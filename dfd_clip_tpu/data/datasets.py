@@ -223,7 +223,7 @@ class FFPP:
                     else:
                         runtime.print(
                             f"Warning: video {path.join(self.root, self.TYPE_DIRS[df_type], comp, 'videos', idx)}"
-                            " does not present in the processed dataset."
+                            " is missing from the processed dataset; skipping."
                         )
                 self.video_list += comp_videos[: int(self.scale * len(comp_videos))]
 
@@ -268,7 +268,7 @@ class FFPP:
                 result.append(self.get_dict(idx, target_label=False))
                 result.append(self.get_dict(result[-1]["idx"], target_label=False, make_fake=True))
             elif self.contrast_pair:
-                assert len(self.real_clip_idx) > 0, "Real Clip Index Cache Empty!!!"
+                assert len(self.real_clip_idx) > 0, "contrast_pair needs at least one real clip indexed before fakes"
                 while True:
                     try:
                         vid_idx, df_type, _, vid_name, _ = self.video_info(idx)
@@ -460,7 +460,7 @@ class _TestOnlyVideoDataset:
                 else:
                     runtime.print(
                         f"Warning: video {path.join(self.root, label, 'videos', name)}"
-                        " does not present in the processed dataset."
+                        " is missing from the processed dataset; skipping."
                     )
             self.video_list += _videos[: int(self.scale * len(_videos))]
 
@@ -603,7 +603,7 @@ class DFDC(_TestOnlyVideoDataset):
             else:
                 runtime.print(
                     f"Warning: video {path.join(self.root, 'videos', name)}"
-                    " does not present in the processed dataset."
+                    " is missing from the processed dataset; skipping."
                 )
         self.video_list = _videos[: int(self.scale * len(_videos))]
 

@@ -40,6 +40,9 @@ class ViTConfig:
     layers: int = 12
     heads: int = 12
     output_dim: int = 512
+    # FFN family: "mlp" (CLIP / dinov2 S,B,L) or "swiglufused" (dinov2 giant2;
+    # dinov2/layers/swiglu_ffn.py:44-63). CLIP towers always use "mlp".
+    ffn_layer: str = "mlp"
 
     @property
     def grid(self) -> int:
@@ -56,6 +59,12 @@ class ViTConfig:
     @property
     def head_dim(self) -> int:
         return self.width // self.heads
+
+    @property
+    def swiglu_hidden(self) -> int:
+        """SwiGLUFFNFused hidden width: 2/3 of 4w, rounded up to 8
+        (dinov2/layers/swiglu_ffn.py:54-57)."""
+        return (int(4 * self.width * 2 / 3) + 7) // 8 * 8
 
 
 VIT_B16 = ViTConfig()

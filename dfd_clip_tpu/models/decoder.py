@@ -103,7 +103,12 @@ def init_decoder(
                 )["mlp"]
             else:
                 mlp_ref = ref["mlp"]
-            blk["mlp"] = jax.tree_util.tree_map(jnp.array, mlp_ref)
+            # SwiGLU encoders (dinov2 giant2) have no c_fc/c_proj to seed the
+            # decoder's GELU MLP with; keep the random init. (The reference
+            # cannot build this combination at all: its Decoder hard-loads
+            # c_fc/c_proj, and its detector only ever builds mlp-FFN towers.)
+            if "c_fc" in mlp_ref:
+                blk["mlp"] = jax.tree_util.tree_map(jnp.array, mlp_ref)
         blocks.append(blk)
 
     params: Params = {
@@ -156,13 +161,16 @@ def apply_decoder(
     nsel, b, t, p, h, d = k_all.shape
     assert nsel == cfg.num_blocks
 
-    # Temporal positional embedding on both K and V (shared across patches).
-    # Sliced to the actual frame count: op_mode.ema_frame collapses T to 1
-    # (the reference requires temporal_position=0 there; slicing generalizes).
+    # Shared temporal positional embedding for both K and V (same embedding
+    # for every patch of a frame), sliced to the actual frame count:
+    # op_mode.ema_frame collapses T to 1 (the reference requires
+    # temporal_position=0 there; slicing generalizes). It is THREADED into
+    # the attention op rather than pre-added: the Pallas path applies it
+    # in-VMEM, the XLA path adds it where fusion makes it free.
+    pos_tok = None
     if cfg.temporal_position:
-        pos = params["positional_embedding"][:t][None, None]  # (1,1,T,1,H,D)
-        k_all = k_all + pos.astype(k_all.dtype)
-        v_all = v_all + pos.astype(v_all.dtype)
+        pos = params["positional_embedding"][:t]  # (T, 1, H, D)
+        pos_tok = jnp.broadcast_to(pos, (t, p, h, d)).reshape(t * p, h, d)
 
     # Flatten (T, P) -> L tokens; expand frame mask to token mask.
     k_all = k_all.reshape(nsel, b, t * p, h, d)
@@ -191,7 +199,7 @@ def apply_decoder(
         q_coda = q_coda.reshape(b, -1, h, d)
         attn_out = dual_activation_attention(
             q_smax, q_coda, k_all[i], v_all[i], token_mask,
-            num_frames=t, attn_mode=cfg.attn_mode,
+            num_frames=t, attn_mode=cfg.attn_mode, temporal_pos=pos_tok,
         )
         attn_out = layers.linear(blk["attn"]["out_proj"], attn_out.reshape(b, -1, cfg.width))
         x = x + attn_out

@@ -28,23 +28,67 @@ from ..ops.attention import encoder_self_attention
 Params = Dict[str, Any]
 
 # The reference always builds vit_base(patch=14) regardless of the config's
-# architecture string (src/models.py:368); map common strings to it.
+# architecture string (src/models.py:368); map common strings to it. The
+# full family matches dinov2/models/vision_transformer.py:314-366
+# (vit_small/base/large/giant2; giant2 ships with the fused-SwiGLU FFN).
+DINOV2_S14 = ViTConfig(
+    input_resolution=224, patch_size=14, width=384, layers=12, heads=6, output_dim=384
+)
 DINOV2_B14 = ViTConfig(
     input_resolution=224, patch_size=14, width=768, layers=12, heads=12, output_dim=768
 )
 DINOV2_L14 = ViTConfig(
     input_resolution=224, patch_size=14, width=1024, layers=24, heads=16, output_dim=1024
 )
+DINOV2_G14 = ViTConfig(
+    input_resolution=224, patch_size=14, width=1536, layers=40, heads=24,
+    output_dim=1536, ffn_layer="swiglufused",
+)
 
 ARCHITECTURES = {
     "ViT-B/16": DINOV2_B14,  # reference configs keep this string for dinov2
+    "ViT-S/14": DINOV2_S14,
     "ViT-B/14": DINOV2_B14,
     "ViT-L/14": DINOV2_L14,
+    "ViT-g/14": DINOV2_G14,
     # tiny tower for smoke tests / CI
     "ViT-Test": ViTConfig(
         input_resolution=28, patch_size=14, width=32, layers=2, heads=2, output_dim=32
     ),
+    "ViT-Test-SwiGLU": ViTConfig(
+        input_resolution=28, patch_size=14, width=32, layers=2, heads=2,
+        output_dim=32, ffn_layer="swiglufused",
+    ),
 }
+
+
+def init_ffn(key: jax.Array, cfg: ViTConfig, std: float) -> Params:
+    """FFN params for the configured family (mlp | swiglufused)."""
+    k1, k2 = jax.random.split(key)
+    w = cfg.width
+    if cfg.ffn_layer == "swiglufused":
+        hidden = cfg.swiglu_hidden
+        return {
+            "w12": layers.init_linear(k1, w, 2 * hidden, std=std),
+            "w3": layers.init_linear(k2, hidden, w, std=std),
+        }
+    if cfg.ffn_layer != "mlp":
+        raise NotImplementedError(f"ffn_layer: {cfg.ffn_layer}")
+    return {
+        "c_fc": layers.init_linear(k1, w, 4 * w, std=std),
+        "c_proj": layers.init_linear(k2, 4 * w, w, std=std),
+    }
+
+
+def apply_ffn(mlp: Params, y: jax.Array) -> jax.Array:
+    """Exact-GELU MLP or fused SwiGLU (silu(x1) * x2 -> w3), keyed on params."""
+    if "w12" in mlp:
+        x12 = layers.linear(mlp["w12"], y)
+        x1, x2 = jnp.split(x12, 2, axis=-1)
+        return layers.linear(mlp["w3"], jax.nn.silu(x1) * x2)
+    y = layers.linear(mlp["c_fc"], y)
+    y = jax.nn.gelu(y, approximate=False)
+    return layers.linear(mlp["c_proj"], y)
 
 
 def init_dinov2(key: jax.Array, cfg: ViTConfig) -> Params:
@@ -53,7 +97,7 @@ def init_dinov2(key: jax.Array, cfg: ViTConfig) -> Params:
     scale = 0.02
 
     def init_block(k: jax.Array) -> Params:
-        ks = jax.random.split(k, 4)
+        ks = jax.random.split(k, 3)
         return {
             "ln_1": layers.init_layer_norm(w),
             "attn": {
@@ -62,10 +106,7 @@ def init_dinov2(key: jax.Array, cfg: ViTConfig) -> Params:
             },
             "ls1": jnp.ones((w,), jnp.float32),
             "ln_2": layers.init_layer_norm(w),
-            "mlp": {
-                "c_fc": layers.init_linear(ks[2], w, 4 * w, std=scale),
-                "c_proj": layers.init_linear(ks[3], 4 * w, w, std=scale),
-            },
+            "mlp": init_ffn(ks[2], cfg, std=scale),
             "ls2": jnp.ones((w,), jnp.float32),
         }
 
@@ -144,9 +185,7 @@ def _block(bp: Params, h: jax.Array, cfg: ViTConfig,
     attn_out = layers.linear(bp["attn"]["out_proj"], attn_out)
     h = h + dp1 * bp["ls1"].astype(h.dtype) * attn_out
     y = layers.layer_norm(bp["ln_2"], h)
-    y = layers.linear(bp["mlp"]["c_fc"], y)
-    y = jax.nn.gelu(y, approximate=False)
-    y = layers.linear(bp["mlp"]["c_proj"], y)
+    y = apply_ffn(bp["mlp"], y)
     return h + dp2 * bp["ls2"].astype(h.dtype) * y
 
 
@@ -229,9 +268,7 @@ def dinov2_kv(
         attn_out = layers.linear(bp["attn"]["out_proj"], attn_out)
         h = h + bp["ls1"].astype(h.dtype) * attn_out
         y = layers.layer_norm(bp["ln_2"], h)
-        y = layers.linear(bp["mlp"]["c_fc"], y)
-        y = jax.nn.gelu(y, approximate=False)
-        y = layers.linear(bp["mlp"]["c_proj"], y)
+        y = apply_ffn(bp["mlp"], y)
         return h + bp["ls2"].astype(h.dtype) * y, k, v
 
     if keep_layers is None:

@@ -259,6 +259,11 @@ def convert_dinov2(sd: Dict[str, np.ndarray], cfg: ViTConfig) -> Params:
     blocks = []
     for i in range(cfg.layers):
         b = f"blocks.{i}"
+        if f"{b}.mlp.w12.weight" in sd:
+            # fused-SwiGLU checkpoints (giant2; dinov2/layers/swiglu_ffn.py)
+            mlp = {"w12": _lin(sd, f"{b}.mlp.w12"), "w3": _lin(sd, f"{b}.mlp.w3")}
+        else:
+            mlp = {"c_fc": _lin(sd, f"{b}.mlp.fc1"), "c_proj": _lin(sd, f"{b}.mlp.fc2")}
         blocks.append(
             {
                 "ln_1": _ln(sd, f"{b}.norm1"),
@@ -271,10 +276,7 @@ def convert_dinov2(sd: Dict[str, np.ndarray], cfg: ViTConfig) -> Params:
                 },
                 "ls1": jnp.asarray(sd[f"{b}.ls1.gamma"]),
                 "ln_2": _ln(sd, f"{b}.norm2"),
-                "mlp": {
-                    "c_fc": _lin(sd, f"{b}.mlp.fc1"),
-                    "c_proj": _lin(sd, f"{b}.mlp.fc2"),
-                },
+                "mlp": mlp,
                 "ls2": jnp.asarray(sd[f"{b}.ls2.gamma"]),
             }
         )

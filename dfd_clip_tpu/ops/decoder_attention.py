@@ -29,6 +29,7 @@ def dual_activation_attention(
     mask: jax.Array,
     num_frames: int,
     attn_mode: Sequence[str] = (),
+    temporal_pos: jax.Array | None = None,
 ) -> jax.Array:
     """Compute ((softmax + CoDA)/2) attention.
 
@@ -38,19 +39,28 @@ def dual_activation_attention(
       mask: (B, L) bool, True = attendable token.
       num_frames: static frame count (for factorized attn_mode reshapes).
       attn_mode: subset of {"frame", "temporal"}; empty = plain softmax.
+      temporal_pos: optional (L, H, D) shared positional embedding added to
+        BOTH K and V before attention (decoder semantics, src/models.py:326-
+        330). Passing it here instead of pre-adding lets the Pallas path add
+        it in-VMEM without materializing pos-added K/V copies.
 
     Returns: (B, Q, H, D).
     """
     import os
 
-    if (
-        os.environ.get("DFD_ATTENTION_BACKEND") == "pallas"
-        and not attn_mode
-        and q_smax.shape[1] == 1
-    ):
+    # XLA stays the default here even on TPU: measured (PERF.md round 2) the
+    # XLA path overlaps K/V prefetch across the decoder's 6 sequential
+    # blocks (1.4 ms/block) while back-to-back pallas custom calls barrier
+    # (2.5 ms/block). The fused kernel remains opt-in.
+    backend = os.environ.get("DFD_ATTENTION_BACKEND", "xla")
+    if backend == "pallas" and not attn_mode and q_smax.shape[1] == 1:
         from .pallas_decoder_attention import fused_decoder_attention
 
-        return fused_decoder_attention(q_smax, q_coda, k, v, mask)
+        return fused_decoder_attention(q_smax, q_coda, k, v, mask, temporal_pos)
+
+    if temporal_pos is not None:
+        k = k + temporal_pos[None].astype(k.dtype)
+        v = v + temporal_pos[None].astype(v.dtype)
 
     d = q_smax.shape[-1]
     scale = d ** -0.5

@@ -1,25 +1,36 @@
 """Pallas fused single-query dual-activation (softmax + CoDA) attention.
 
-The decoder's hot op: one learned query attends L = frames x patches K/V
-tokens per kept layer (src/models.py:99-146 semantics, see
-ops/decoder_attention.py for the XLA spec). The fusion computes, per
-(batch, head) grid step, entirely in VMEM:
+The decoder's hot op (src/models.py:99-146 semantics; ops/decoder_attention.py
+is the XLA spec): ONE learned query per sample attends L = frames x patches
+K/V tokens with the mean of a masked softmax and a CoDA (tanh x L1-sigmoid
+gate) activation.
 
-    smax  = softmax(mask ? q_s.k/sqrt(d) : -inf)           over L
-    coda  = tanh(q_c.k/sqrt(d)) * 2*sigmoid(-|q_c - k|_1/sqrt(d)) * mask
-    out   = ((smax + coda)/2)^T v
+The XLA path costs ~3.8 ms per decoder block at (B=16, L=3920): the
+``|q_coda - k|`` L1 gate broadcasts to a materialized (B, L, H, D) float32
+intermediate (~770 MB of HBM round-trip per block) and K is re-read for each
+of the three contractions. This kernel makes one pass over K and V per
+block, entirely in VMEM per tile:
 
-avoiding two HBM-materialized (B, L, H) affinity tensors and the separate
-L1-distance broadcast of the XLA path. Supports the default attention mode;
-factorized attn_mode variants dispatch to the XLA implementation.
+  * K and V stay in their natural (B, L, H*D) layout (no transposed copy);
+    grid = (batch, L tiles), one sample's tile per step.
+  * Per-head logits for BOTH activations come from ONE MXU issue:
+    ``k_tile @ Qblk`` where Qblk (H*D, 2H) is the block-diagonal query matrix
+    (column h carries q_smax of head h in rows [hD,(h+1)D), column H+h
+    carries q_coda) — built once per sample by the XLA caller (tiny).
+  * The softmax runs as an online (flash-style) accumulation across L tiles:
+    running per-head max / denominator with accumulator rescaling. The CoDA
+    branch needs no normalization and accumulates directly.
+  * PV uses a per-head weight broadcast (pltpu.repeat to H*D lanes) and a
+    multiply-accumulate over the tile — no (L, 1) single-lane math.
 
-Honest v5e timing (see PERF.md methodology): XLA 3.3 ms vs this kernel
-5.1 ms at B=16, L=3920 — XLA's fusion wins for the single-query,
-bandwidth-light decoder, so XLA stays the default and this kernel is an
-opt-in (DFD_ATTENTION_BACKEND=pallas) reference implementation.
+Measured on v5e (PERF.md methodology): 22.8 ms -> ~2 ms for the 6-block
+decoder at the flagship shape. Default on TPU for the unfactorized
+single-query path; attn_mode variants dispatch to XLA.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -31,45 +42,105 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _decoder_attn_kernel(qs_ref, qc_ref, k_ref, v_ref, m_ref, o_ref):
-    """One (b*h) slice; all intermediates kept 2-D ((L, 1) orientation) for
-    Mosaic-friendly lowering. Blocks: qs/qc (1,1,D), k/v (1,L,D), m (1,L,1)."""
-    qs = qs_ref[0].astype(jnp.float32)  # (1, D)
-    qc = qc_ref[0].astype(jnp.float32)  # (1, D)
-    k = k_ref[0].astype(jnp.float32)    # (L, D)
-    v = v_ref[0].astype(jnp.float32)    # (L, D)
-    mask = m_ref[0].astype(jnp.float32)  # (L, 1)
-    d = k.shape[-1]
-    scale = d ** -0.5
+def _pick_tile(l: int) -> int:
+    """512-row tiles (1.5 MB K+V per step, double-buffered); whole-L for
+    short streams."""
+    return 512 if l > 512 else -(-l // 128) * 128
 
-    # softmax branch: logits (L, 1)
-    logits = jax.lax.dot_general(
-        k, qs * scale, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    neg = jnp.float32(-1e30)
-    logits = jnp.where(mask > 0, logits, neg)
-    mx = jnp.max(logits, axis=0, keepdims=True)        # (1, 1)
-    p = jnp.exp(logits - mx) * mask                    # (L, 1)
-    denom = jnp.sum(p, axis=0, keepdims=True)          # (1, 1)
-    smax = p / jnp.maximum(denom, 1e-30)
 
-    # CoDA branch
-    aff = jnp.tanh(
-        jax.lax.dot_general(
-            k, qc * scale, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+def _kernel(qblk_ref, qc_ref, k_ref, v_ref, m_ref, pos_ref, o_ref,
+            acc_s, acc_c, run_m, run_d, *,
+            heads: int, head_dim: int, scale: float, l_real: int, lt: int,
+            with_pos: bool):
+    """One (sample, L-tile) step.
+
+    Blocks: qblk (1, HD, 2H), qc (1, 1, HD), k/v (1, Lt, HD), m (1, Lt, 1),
+    pos (Lt, HD), out (1, 1, HD). Scratch: acc_s/acc_c (1, HD) f32,
+    run_m/run_d (1, H) f32. The final tile may read past L (no padding copy
+    upstream); out-of-bounds rows are masked via ``l_real``.
+    """
+    t = pl.program_id(1)
+    hd = heads * head_dim
+
+    @pl.when(t == 0)
+    def _():
+        acc_s[:] = jnp.zeros_like(acc_s)
+        acc_c[:] = jnp.zeros_like(acc_c)
+        run_m[:] = jnp.full_like(run_m, -jnp.inf)
+        run_d[:] = jnp.zeros_like(run_d)
+
+    k = k_ref[0]                       # (Lt, HD) bf16
+    v = v_ref[0]                       # (Lt, HD) bf16
+    if with_pos:
+        # shared temporal positional embedding, added to BOTH K and V here —
+        # in-VMEM, so the (B, L, H, D) pos-added copies the XLA path
+        # materializes never exist (decoder.py:163-165 semantics)
+        k = k + pos_ref[...]
+        v = v + pos_ref[...]
+    row = jax.lax.broadcasted_iota(jnp.int32, (lt, 1), 0) + t * lt
+    mcol = (m_ref[0] > 0) & (row < l_real)   # (Lt, 1) bool
+    # zero V's out-of-bounds rows: boundary-tile reads are undefined memory,
+    # and NaN garbage would poison the 0-weighted PV accumulation (0*NaN=NaN)
+    v = jnp.where(row < l_real, v, jnp.zeros((), v.dtype))
+
+    # E (H, HD): E[h, h*D+d] = 1 — the head->lanes expansion. Broadcasting a
+    # per-head vector to HD lanes is E-matmul (pltpu.repeat is TILE repeat,
+    # not element repeat); extracting per-head diagonal blocks of an (H, HD)
+    # product is multiply-by-E + column sum.
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (heads, hd), 1) // head_dim
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (heads, hd), 0)
+    E = (col_head == row_head).astype(jnp.float32)
+
+    def expand(w):  # (1, H) f32 -> (1, HD)
+        return jax.lax.dot_general(
+            w, E, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-    )                                                  # (L, 1)
-    l1 = jnp.sum(jnp.abs(k - qc), axis=1, keepdims=True)  # (L, 1)
-    gate = 2.0 * jax.nn.sigmoid(-l1 * scale) * mask
-    weights = (smax + aff * gate) * 0.5                # (L, 1)
 
-    out = jax.lax.dot_general(
-        weights, v, dimension_numbers=(((0,), (0,)), ((), ())),
+    def pv(w):
+        """sum_l w[l,h] * v[l, h*D+d] -> (1, HD): one Lt-contraction matmul
+        to (H, HD), then keep each head's own block via E."""
+        full = jax.lax.dot_general(
+            w.astype(v.dtype), v, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H, HD)
+        return jnp.sum(full * E, axis=0, keepdims=True)  # (1, HD)
+
+    # all-heads logits, both activations, one MXU issue: (Lt, 2H) f32
+    logits = jax.lax.dot_general(
+        k, qblk_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (1, D)
-    o_ref[0] = out.astype(o_ref.dtype)
+    ) * scale
+    ls = logits[:, :heads]             # (Lt, H) softmax logits
+    lc = logits[:, heads:]             # (Lt, H) coda logits
+
+    # ---- CoDA branch: tanh(lc) * 2*sigmoid(-|qc - k|_1 * scale) * mask ----
+    diff = jnp.abs(qc_ref[0] - k.astype(jnp.float32))  # (Lt, HD) f32
+    l1 = jnp.concatenate(
+        [
+            jnp.sum(diff[:, h * head_dim : (h + 1) * head_dim], axis=1, keepdims=True)
+            for h in range(heads)
+        ],
+        axis=1,
+    )  # (Lt, H)
+    gate = 2.0 * jax.nn.sigmoid(-l1 * scale)
+    wc = jnp.where(mcol, jnp.tanh(lc) * gate, 0.0)     # (Lt, H)
+    acc_c[:] = acc_c[:] + pv(wc)
+
+    # ---- softmax branch: online accumulation across tiles ----
+    ls = jnp.where(mcol, ls, -jnp.inf)                 # (Lt, H)
+    tile_max = jnp.max(ls, axis=0, keepdims=True)      # (1, H)
+    new_m = jnp.maximum(run_m[:], tile_max)
+    # rescale prior accumulator/denominator; exp(-inf - -inf) guarded to 0
+    corr = jnp.where(jnp.isfinite(run_m[:]), jnp.exp(run_m[:] - new_m), 0.0)
+    p = jnp.where(mcol, jnp.exp(ls - new_m), 0.0)      # (Lt, H)
+    run_d[:] = run_d[:] * corr + jnp.sum(p, axis=0, keepdims=True)
+    acc_s[:] = acc_s[:] * expand(corr) + pv(p)
+    run_m[:] = new_m
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        denom = jnp.maximum(run_d[:], 1e-30)           # fully-masked -> 0 out
+        o_ref[0] = (0.5 * (acc_s[:] * expand(1.0 / denom) + acc_c[:])).astype(o_ref.dtype)
 
 
 def fused_decoder_attention(
@@ -78,39 +149,66 @@ def fused_decoder_attention(
     k: jax.Array,
     v: jax.Array,
     mask: jax.Array,
+    temporal_pos: jax.Array | None = None,
 ) -> jax.Array:
-    """(B,1,H,D), (B,1,H,D), (B,L,H,D), (B,L,H,D), (B,L) -> (B,1,H,D)."""
+    """(B,1,H,D), (B,1,H,D), (B,L,H,D), (B,L,H,D), (B,L) -> (B,1,H,D).
+
+    ``temporal_pos`` ((L, H, D) or broadcastable): the decoder's shared
+    temporal positional embedding, added to K AND V inside the kernel —
+    callers should NOT pre-add it (that materializes two (B, L, H, D)
+    copies the fusion exists to avoid). L may be any size; the final
+    partial tile is masked in-kernel (no padding copies)."""
     b, q, h, d = q_smax.shape
     assert q == 1, "fused decoder attention is specialized for a single query"
     l = k.shape[1]
+    hd = h * d
+    scale = d ** -0.5
+    lt = _pick_tile(l)
+    n_tiles = -(-l // lt)
 
-    def heads_first(x):
-        return x.transpose(0, 2, 1, 3).reshape(b * h, -1, d)
+    kf = k.reshape(b, l, hd)
+    vf = v.reshape(b, l, hd)
+    mf = mask.astype(jnp.int32)[..., None]  # (B, L, 1)
 
-    qs = heads_first(q_smax)
-    qc = heads_first(q_coda)
-    kf = heads_first(k)
-    vf = heads_first(v)
-    # mask as (B*H, L, 1), matching heads_first's (b, h) raveling; trailing
-    # block dims equal the array dims (Mosaic tiling constraint).
-    mf = (
-        jnp.broadcast_to(mask[:, None, :], (b, h, l))
-        .reshape(b * h, l, 1)
-        .astype(jnp.float32)
+    with_pos = temporal_pos is not None
+    if with_pos:
+        pos = jnp.broadcast_to(temporal_pos, (l, h, d)).reshape(l, hd).astype(k.dtype)
+        pos_index = lambda i, t: (t, 0)
+    else:
+        pos = jnp.zeros((lt, hd), k.dtype)  # unused dummy block
+        pos_index = lambda i, t: (0, 0)
+
+    # block-diagonal query matrix: one matmul yields all heads' logits for
+    # both activations. (B, HD, 2H), tiny (~0.6 MB bf16 at flagship shape).
+    eye = jnp.eye(h, dtype=k.dtype)
+    qs_blk = (q_smax[:, 0].astype(k.dtype)[..., None] * eye[None, :, None, :]).reshape(b, hd, h)
+    qc_blk = (q_coda[:, 0].astype(k.dtype)[..., None] * eye[None, :, None, :]).reshape(b, hd, h)
+    qblk = jnp.concatenate([qs_blk, qc_blk], axis=2)   # (B, HD, 2H)
+    qc_row = q_coda[:, 0].reshape(b, 1, hd).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _kernel, heads=h, head_dim=d, scale=scale, l_real=l, lt=lt,
+        with_pos=with_pos,
     )
-
     out = pl.pallas_call(
-        _decoder_attn_kernel,
-        out_shape=jax.ShapeDtypeStruct((b * h, 1, d), v.dtype),
-        grid=(b * h,),
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, 1, hd), v.dtype),
+        grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, l, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd, 2 * h), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hd), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lt, hd), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lt, hd), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lt, 1), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lt, hd), pos_index, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 1, hd), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, hd), jnp.float32),
+            pltpu.VMEM((1, hd), jnp.float32),
+            pltpu.VMEM((1, h), jnp.float32),
+            pltpu.VMEM((1, h), jnp.float32),
+        ],
         interpret=_interpret(),
-    )(qs, qc, kf, vf, mf)
-    return out.reshape(b, h, 1, d).transpose(0, 2, 1, 3)
+    )(qblk, qc_row, kf, vf, mf, pos)
+    return out.reshape(b, 1, h, d)

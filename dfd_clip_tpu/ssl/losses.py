@@ -20,13 +20,21 @@ def dino_loss(
     center: jax.Array,           # (K,)
     student_temp: float,
     teacher_temp: jax.Array,
+    teacher_probs: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Soft cross-entropy between teacher (centered, sharpened) and student
     distributions over every (teacher crop, student crop) pair with
-    teacher_crop != student_crop. Returns (loss, new_center_stats)."""
-    t_probs = jax.nn.softmax(
-        (teacher_logits - center) / teacher_temp, axis=-1
-    )  # (n_t, B, K)
+    teacher_crop != student_crop. Returns (loss, new_center_stats).
+
+    ``teacher_probs`` overrides the softmax-centering distribution — the
+    sinkhorn_knopp centering mode passes the SK assignment here
+    (dinov2/train/ssl_meta_arch.py:215-219)."""
+    if teacher_probs is not None:
+        t_probs = teacher_probs
+    else:
+        t_probs = jax.nn.softmax(
+            (teacher_logits - center) / teacher_temp, axis=-1
+        )  # (n_t, B, K)
     s_logp = jax.nn.log_softmax(student_logits / student_temp, axis=-1)  # (n_s, B, K)
 
     n_t, n_s = t_probs.shape[0], s_logp.shape[0]
@@ -55,9 +63,14 @@ def update_center(center: jax.Array, batch_center: jax.Array,
 
 def sinkhorn_knopp(teacher_logits: jax.Array, teacher_temp: jax.Array,
                    n_iterations: int = 3) -> jax.Array:
-    """Sinkhorn-Knopp normalization alternative to centering
-    (dino_clstoken_loss.py:40-60 semantics, single-replica view)."""
-    Q = jnp.exp(teacher_logits / teacher_temp).T  # (K, B*)
+    """Sinkhorn-Knopp assignment alternative to centering
+    (dino_clstoken_loss.py:36-61). Cross-replica correctness is structural:
+    under pjit the batch axis is globally sharded, so the jnp.sum reductions
+    ARE the reference's all_reduce calls (XLA inserts the collectives). The
+    global max subtraction stabilizes exp without changing the result (it is
+    a constant factor removed by the sum_Q normalization)."""
+    z = (teacher_logits / teacher_temp).astype(jnp.float32)
+    Q = jnp.exp(z - jnp.max(z)).T  # (K, B*)
     Q = Q / jnp.sum(Q)
     K, B = Q.shape
 
@@ -70,6 +83,35 @@ def sinkhorn_knopp(teacher_logits: jax.Array, teacher_temp: jax.Array,
     return (Q * B).T
 
 
+def sinkhorn_knopp_masked(
+    teacher_patch_logits: jax.Array,  # (N, P, K)
+    patch_mask: jax.Array,            # (N, P) bool, True = masked patch
+    teacher_temp: jax.Array,
+    n_iterations: int = 3,
+) -> jax.Array:
+    """iBOT-side Sinkhorn (ibot_patch_loss.py:63-91): assignments over the
+    *masked* patches only, B = global masked-patch count. The reference packs
+    masked patches into a dense buffer; with XLA static shapes we keep the
+    full (N*P) column axis and zero out unmasked columns — those columns are
+    never read by the loss (it filters by the same mask)."""
+    n, p, k = teacher_patch_logits.shape
+    z = (teacher_patch_logits.reshape(n * p, k) / teacher_temp).astype(jnp.float32)
+    m = patch_mask.reshape(n * p).astype(jnp.float32)
+    Q = jnp.exp(z - jnp.max(z)).T * m[None, :]  # (K, N*P), unmasked cols = 0
+    B = jnp.maximum(jnp.sum(m), 1.0)
+    Q = Q / jnp.sum(Q)
+
+    def body(_, Q):
+        rows = jnp.sum(Q, axis=1, keepdims=True)
+        Q = Q / jnp.where(rows > 0, rows, 1.0) / k
+        cols = jnp.sum(Q, axis=0, keepdims=True)
+        Q = Q / jnp.where(cols > 0, cols, 1.0) / B
+        return Q
+
+    Q = jax.lax.fori_loop(0, n_iterations, body, Q)
+    return (Q * B).T.reshape(n, p, k)
+
+
 def ibot_patch_loss(
     student_patch_logits: jax.Array,  # (B, P, K) — student on masked image
     teacher_patch_logits: jax.Array,  # (B, P, K) — teacher on clean image
@@ -77,12 +119,17 @@ def ibot_patch_loss(
     center: jax.Array,                # (K,)
     student_temp: float,
     teacher_temp: jax.Array,
+    teacher_probs: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """CE between teacher and student patch distributions on masked patches
-    only, normalized by masked-patch count (ibot_patch_loss.py:84-121)."""
-    t_probs = jax.nn.softmax(
-        (teacher_patch_logits - center) / teacher_temp, axis=-1
-    )
+    only, normalized by masked-patch count (ibot_patch_loss.py:84-121).
+    ``teacher_probs`` overrides softmax-centering (sinkhorn_knopp mode)."""
+    if teacher_probs is not None:
+        t_probs = teacher_probs
+    else:
+        t_probs = jax.nn.softmax(
+            (teacher_patch_logits - center) / teacher_temp, axis=-1
+        )
     s_logp = jax.nn.log_softmax(student_patch_logits / student_temp, axis=-1)
     per_patch = -jnp.sum(t_probs * s_logp, axis=-1)  # (B, P)
     masked = jnp.where(patch_mask, per_patch, 0.0)

@@ -41,6 +41,10 @@ class SSLConfig:
     head_hidden_dim: int = 2048
     head_bottleneck_dim: int = 256
     head_n_layers: int = 3
+    # teacher-distribution normalization: "centering" (EMA-centered softmax)
+    # or "sinkhorn_knopp" (dinov2 ssl_default_config.yaml:70,
+    # ssl_meta_arch.py:202-230 selection)
+    centering: str = "centering"
 
 
 class SSLMetaArch:
@@ -127,9 +131,25 @@ class SSLMetaArch:
             )
         s_cls_logits = jnp.concatenate(s_cls, axis=0)  # (2 + n_local, B, K)
 
+        # teacher-distribution normalization (ssl_meta_arch.py:202-230):
+        # softmax-centering uses the EMA center; sinkhorn_knopp computes the
+        # assignment directly and leaves the centers untouched.
+        t_probs_dino = t_probs_ibot = None
+        if c.centering == "sinkhorn_knopp":
+            t_probs_dino = loss_lib.sinkhorn_knopp(
+                t_cls_logits.reshape(two * b, -1), teacher_temp
+            ).reshape(two, b, -1)
+            t_probs_ibot = loss_lib.sinkhorn_knopp_masked(
+                t_patch_logits.reshape(two * b, -1, c.ibot_out_dim),
+                patch_masks.reshape(two * b, -1),
+                teacher_temp,
+            )
+        elif c.centering != "centering":
+            raise NotImplementedError(f"centering: {c.centering}")
+
         dino, dino_center = loss_lib.dino_loss(
             s_cls_logits, t_cls_logits, centers["dino"],
-            c.student_temp, teacher_temp,
+            c.student_temp, teacher_temp, teacher_probs=t_probs_dino,
         )
 
         s_patch_logits = apply_dino_head(
@@ -140,15 +160,19 @@ class SSLMetaArch:
             t_patch_logits.reshape(two * b, -1, c.ibot_out_dim),
             patch_masks.reshape(two * b, -1),
             centers["ibot"], c.student_temp, teacher_temp,
+            teacher_probs=t_probs_ibot,
         )
 
         koleo = loss_lib.koleo_loss(s_out_g["cls"][:b])  # first global crop
 
         total = c.dino_weight * dino + c.ibot_weight * ibot + c.koleo_weight * koleo
-        new_centers = {
-            "dino": loss_lib.update_center(centers["dino"], dino_center, c.center_momentum),
-            "ibot": loss_lib.update_center(centers["ibot"], ibot_center, c.center_momentum),
-        }
+        if c.centering == "sinkhorn_knopp":
+            new_centers = centers
+        else:
+            new_centers = {
+                "dino": loss_lib.update_center(centers["dino"], dino_center, c.center_momentum),
+                "ibot": loss_lib.update_center(centers["ibot"], ibot_center, c.center_momentum),
+            }
         metrics = {"dino": dino, "ibot": ibot, "koleo": koleo, "total": total}
         return total, (metrics, new_centers)
 

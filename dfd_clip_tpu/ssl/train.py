@@ -36,6 +36,8 @@ class SSLTrainer:
         C = CN()
         C.name = "SSLTrainer"
         C.arch = "ViT-B/14"
+        C.ffn_layer = ""   # override: "mlp" | "swiglufused" (dinov2 ffn_layer knob)
+        C.centering = "centering"  # or "sinkhorn_knopp" (ssl_default_config.yaml:70)
         C.out_dim = 65536
         C.batch_size = 32          # per data-parallel replica
         C.max_steps = 1000
@@ -73,6 +75,10 @@ class SSLTrainer:
         self.dataset = dataset
         self.tracker = tracker
         vit_cfg = arch or ARCHITECTURES[config.arch]
+        if config.get("ffn_layer", ""):
+            import dataclasses
+
+            vit_cfg = dataclasses.replace(vit_cfg, ffn_layer=config.ffn_layer)
 
         self.ssl_cfg = SSLConfig(
             arch=vit_cfg,
@@ -81,6 +87,7 @@ class SSLTrainer:
             local_size=config.local_size,
             n_local_crops=config.n_local_crops,
             drop_path_rate=config.get("drop_path_rate", 0.0),
+            centering=config.get("centering", "centering"),
         )
         self.meta = SSLMetaArch(self.ssl_cfg)
         self.student, self.teacher, self.centers = self.meta.init_params(

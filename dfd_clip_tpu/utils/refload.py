@@ -99,3 +99,20 @@ def load_reference(root: Optional[str] = None):
     ns = types.SimpleNamespace(clip_model=clip_model, models=models, root=root)
     _cache[root] = ns
     return ns
+
+
+def load_reference_module(relpath: str, root: Optional[str] = None):
+    """Import one self-contained reference module file (e.g. the dinov2
+    swiglu_ffn layer) without package plumbing. Returns None if missing."""
+    root = root or os.environ.get("DFD_REFERENCE_ROOT", DEFAULT_REFERENCE_ROOT)
+    path = os.path.join(root, relpath)
+    key = ("module", path)
+    if key in _cache:
+        return _cache[key]
+    if not os.path.exists(path):
+        _cache[key] = None
+        return None
+    name = "dfd_ref_" + relpath.replace("/", "_").removesuffix(".py")
+    mod = _load_module(name, path)
+    _cache[key] = mod
+    return mod

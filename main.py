@@ -294,6 +294,7 @@ def category_index_map(train_cfgs) -> dict:
 
 
 def main(params):
+    global PROJECT_DIR
     config = get_config(params)
     runtime, tracker = init_runtime(config)
     runtime.print(config.dump())
@@ -364,6 +365,14 @@ def main(params):
 
     if config.tracking.enabled:
         tracker.finish()
+        # Rename the run dir to the wandb run name at completion, as the
+        # reference does (main.py:272-277) — only when wandb actually ran.
+        if tracker.run_name and trainer.runtime.is_main_process:
+            wandb_dir = os.path.join(os.path.dirname(PROJECT_DIR), tracker.run_name)
+            if not os.path.exists(wandb_dir):
+                logging.info("Rename directory: %s -> %s", PROJECT_DIR, wandb_dir)
+                os.rename(PROJECT_DIR, wandb_dir)
+                PROJECT_DIR = wandb_dir
         send_to_telegram(f"Training Completed, Result Location: {PROJECT_DIR}")
     return PROJECT_DIR
 

@@ -88,6 +88,58 @@ def test_sinkhorn_doubly_stochastic(rng):
     np.testing.assert_allclose(np.asarray(q.sum(axis=1)), 1.0, atol=1e-3)
 
 
+def test_sinkhorn_masked_assignments(rng):
+    """Masked-patch Sinkhorn: masked columns are valid assignments, unmasked
+    columns are exactly zero (they are packed away in the reference,
+    ibot_patch_loss.py:63-91)."""
+    n, p, k = 2, 6, 5
+    logits = jnp.asarray(rng.standard_normal((n, p, k)), jnp.float32)
+    mask = np.zeros((n, p), bool)
+    mask[0, :3] = True
+    mask[1, 2:4] = True
+    q = loss_lib.sinkhorn_knopp_masked(logits, jnp.asarray(mask), jnp.asarray(0.05),
+                                       n_iterations=10)
+    q = np.asarray(q)
+    assert np.all(q[~mask] == 0.0)
+    np.testing.assert_allclose(q[mask].sum(-1), 1.0, atol=1e-3)
+    # exact equivalence with the reference's pack-then-sinkhorn formulation
+    packed = np.asarray(loss_lib.sinkhorn_knopp(
+        jnp.asarray(np.asarray(logits)[mask]), jnp.asarray(0.05), n_iterations=10
+    ))
+    np.testing.assert_allclose(q[mask], packed, rtol=1e-4, atol=1e-6)
+
+
+def test_meta_arch_sinkhorn_centering(rng):
+    """SSLMetaArch centering=sinkhorn_knopp: runs, finite loss, centers are
+    left untouched (reference skips update_center in SK mode,
+    ssl_meta_arch.py:215-226)."""
+    import dataclasses as dc
+
+    arch = ViTConfig(input_resolution=28, patch_size=14, width=32, layers=1,
+                     heads=2, output_dim=32)
+    base = SSLConfig(arch=arch, out_dim=32, ibot_out_dim=32, local_size=14,
+                     n_local_crops=2, head_hidden_dim=32, head_bottleneck_dim=16)
+    g = jnp.asarray(rng.standard_normal((2, 2, 3, 28, 28)), jnp.float32)
+    l = jnp.asarray(rng.standard_normal((2, 2, 3, 14, 14)), jnp.float32)
+    masks = jnp.asarray(rng.random((2, 2, 4)) < 0.5)
+
+    for centering in ("centering", "sinkhorn_knopp"):
+        cfg = dc.replace(base, centering=centering)
+        meta = SSLMetaArch(cfg, compute_dtype=jnp.float32)
+        student, teacher, centers = meta.init_params(jax.random.key(0))
+        centers = {"dino": centers["dino"] + 0.1, "ibot": centers["ibot"] - 0.1}
+        total, (metrics, new_centers) = jax.jit(meta.forward_loss)(
+            student, teacher, centers, g, l, masks, jnp.asarray(0.04)
+        )
+        assert np.isfinite(float(total))
+        if centering == "sinkhorn_knopp":
+            np.testing.assert_array_equal(np.asarray(new_centers["dino"]),
+                                          np.asarray(centers["dino"]))
+        else:
+            assert not np.allclose(np.asarray(new_centers["dino"]),
+                                   np.asarray(centers["dino"]))
+
+
 # -- samplers / masking ----------------------------------------------------------
 
 def test_sharded_infinite_sampler_partitions():

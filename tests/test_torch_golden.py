@@ -256,6 +256,41 @@ def test_detector_predict_matches_reference():
         np.testing.assert_allclose(np.asarray(a), b.numpy(), atol=1e-4, rtol=1e-4)
 
 
+# -- dinov2 SwiGLU FFN ------------------------------------------------------------
+
+def test_swiglu_ffn_matches_reference():
+    """apply_ffn swiglufused vs dinov2/layers/swiglu_ffn.py SwiGLUFFNFused,
+    including the 2/3-of-4w hidden rounding."""
+    from dfd_clip_tpu.utils.refload import load_reference_module
+    from dfd_clip_tpu.models import dinov2_vit
+
+    swiglu_mod = load_reference_module("dinov2/layers/swiglu_ffn.py")
+    if swiglu_mod is None:
+        pytest.skip("reference dinov2 tree unavailable")
+
+    w = 32
+    ffn = swiglu_mod.SwiGLUFFNFused(in_features=w, hidden_features=4 * w)
+    _randomize(ffn, seed=30)
+    cfg = dinov2_vit.ARCHITECTURES["ViT-Test-SwiGLU"]
+    assert ffn.w12.weight.shape[0] == 2 * cfg.swiglu_hidden
+
+    params = {
+        "w12": {
+            "w": jnp.asarray(ffn.w12.weight.detach().numpy().T),
+            "b": jnp.asarray(ffn.w12.bias.detach().numpy()),
+        },
+        "w3": {
+            "w": jnp.asarray(ffn.w3.weight.detach().numpy().T),
+            "b": jnp.asarray(ffn.w3.bias.detach().numpy()),
+        },
+    }
+    x = np.random.default_rng(31).normal(size=(6, w)).astype(np.float32)
+    with torch.no_grad():
+        expect = ffn(torch.from_numpy(x)).numpy()
+    got = np.asarray(dinov2_vit.apply_ffn(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, expect, atol=1e-5, rtol=1e-5)
+
+
 # -- loss factories ---------------------------------------------------------------
 
 def test_loss_factories_match_reference():

@@ -133,6 +133,63 @@ def test_dinov2_checkpoint_roundtrip(tmp_path):
     assert params2["positional_embedding"].shape == (cfg2.num_tokens, width)
 
 
+def test_dinov2_swiglu_checkpoint_roundtrip(tmp_path):
+    """Fused-SwiGLU (giant2-family) checkpoints convert and run; converter
+    branches on the mlp.w12 keys (dinov2/layers/swiglu_ffn.py:44-63)."""
+    torch.manual_seed(2)
+    width, layers, patch = 32, 2, 14
+    cfg = dinov2_vit.ARCHITECTURES["ViT-Test-SwiGLU"]
+    hidden = cfg.swiglu_hidden
+    sd = {
+        "patch_embed.proj.weight": torch.randn(width, 3, patch, patch),
+        "patch_embed.proj.bias": torch.randn(width),
+        "cls_token": torch.randn(1, 1, width),
+        "mask_token": torch.randn(1, width),
+        "pos_embed": torch.randn(1, (28 // patch) ** 2 + 1, width),
+        "norm.weight": torch.randn(width),
+        "norm.bias": torch.randn(width),
+    }
+    for i in range(layers):
+        b = f"blocks.{i}"
+        sd.update({
+            f"{b}.norm1.weight": torch.randn(width), f"{b}.norm1.bias": torch.randn(width),
+            f"{b}.attn.qkv.weight": torch.randn(3 * width, width),
+            f"{b}.attn.qkv.bias": torch.randn(3 * width),
+            f"{b}.attn.proj.weight": torch.randn(width, width),
+            f"{b}.attn.proj.bias": torch.randn(width),
+            f"{b}.ls1.gamma": torch.randn(width),
+            f"{b}.norm2.weight": torch.randn(width), f"{b}.norm2.bias": torch.randn(width),
+            f"{b}.mlp.w12.weight": torch.randn(2 * hidden, width),
+            f"{b}.mlp.w12.bias": torch.randn(2 * hidden),
+            f"{b}.mlp.w3.weight": torch.randn(width, hidden),
+            f"{b}.mlp.w3.bias": torch.randn(width),
+            f"{b}.ls2.gamma": torch.randn(width),
+        })
+    path = str(tmp_path / "dinov2_g.pth")
+    torch.save(sd, path)
+
+    params = weights_lib.load_dinov2(path, cfg)
+    assert params["blocks"]["mlp"]["w12"]["w"].shape == (layers, width, 2 * hidden)
+    out = dinov2_vit.dinov2_forward(params, jnp.zeros((1, 3, 28, 28)), cfg, jnp.float32)
+    assert out["cls"].shape == (1, width)
+    kvs = dinov2_vit.dinov2_kv(params, jnp.zeros((2, 3, 28, 28)), cfg, jnp.float32,
+                               keep_layers=(0, 1))
+    assert kvs["k"].shape == (2, 2, cfg.num_tokens, cfg.heads, cfg.head_dim)
+
+
+def test_dinov2_family_architectures():
+    """vit_small/base/large/giant2 entries match the reference family
+    (dinov2/models/vision_transformer.py:314-366)."""
+    fam = dinov2_vit.ARCHITECTURES
+    assert (fam["ViT-S/14"].width, fam["ViT-S/14"].heads, fam["ViT-S/14"].layers) == (384, 6, 12)
+    assert (fam["ViT-B/14"].width, fam["ViT-B/14"].heads, fam["ViT-B/14"].layers) == (768, 12, 12)
+    assert (fam["ViT-L/14"].width, fam["ViT-L/14"].heads, fam["ViT-L/14"].layers) == (1024, 16, 24)
+    g = fam["ViT-g/14"]
+    assert (g.width, g.heads, g.layers, g.ffn_layer) == (1536, 24, 40, "swiglufused")
+    # giant2's fused-SwiGLU hidden width: (4*1536 * 2/3) -> 4096
+    assert g.swiglu_hidden == 4096
+
+
 def test_framework_checkpoint_roundtrip(tmp_path):
     tree = {"a": np.arange(6).reshape(2, 3).astype(np.float32),
             "nested": [{"b": np.ones((4,))}]}
