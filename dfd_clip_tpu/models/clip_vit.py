@@ -6,10 +6,18 @@ block exposes its head-split attention keys and values (the in-projection
 outputs, *before* attention and out-projection), which the temporal decoder
 consumes. Differences from the reference implementation, by design:
 
-  * The 12 blocks are expressed as one ``lax.scan`` over stacked block
-    parameters, so XLA compiles a single fused block body and the exported
-    K/V arrive as one ``(layers, batch, tokens, heads, head_dim)`` array —
-    ideal for static layer selection, sharding, and Pallas consumption.
+  * The block parameters are stored stacked (``(layers, ...)`` leaves, the
+    converter/checkpoint format), but the forward is an **unrolled** Python
+    loop over statically-sliced per-layer weights: XLA then sees the whole
+    12-block dataflow, fuses LayerNorms/residuals across block boundaries,
+    dead-code-eliminates everything after the last exported layer, and the
+    kept layers' K/V are collected by a plain ``jnp.stack`` instead of a
+    scatter-under-``lax.cond`` in a scan (measured: the scan+scatter form
+    cost ~10 ms/batch in accumulator copies at flagship shapes, PERF.md).
+  * The attention kernel consumes the **packed** (N, T, 3·width) qkv
+    projection directly (ops/attention.py): Pallas custom-calls cannot fuse
+    producer slices, so splitting q/k/v first would materialize three
+    full-stream copies per layer.
   * Activations run in a configurable compute dtype (bfloat16 by default for
     the MXU); LayerNorm stays fp32 (see layers.layer_norm).
 """
@@ -24,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import layers
-from ..ops.attention import encoder_self_attention
+from ..ops.attention import encoder_self_attention_qkv
 
 Params = Dict[str, Any]
 
@@ -164,9 +172,9 @@ def clip_vision_kv(
     Returns {"k": (L, N, T, H, D), "v": (L, N, T, H, D)} where T includes the
     CLS token (callers drop index 0, cf. src/models.py:505-507). With
     ``keep_layers`` (a static tuple of layer indices) only those layers' K/V
-    are written — the scan scatters each kept layer into a pre-sized
-    accumulator instead of materializing all 12 layers and indexing after,
-    halving the K/V HBM footprint/traffic for the canonical keep-6 config.
+    are collected; blocks after the last kept layer, and the attention/MLP of
+    the last kept layer itself (its K/V depend only on ln_1 + qkv), are dead
+    work the unrolled graph never emits.
 
     With ``kv_int8`` (keep_layers only) the exported K/V are quantized to
     int8 with per-(layer, head) absmax scales ("k_scale"/"v_scale",
@@ -178,49 +186,12 @@ def clip_vision_kv(
     """
     h = embed_patches(params, x, cfg, compute_dtype)
     n, t = h.shape[0], h.shape[1]
+    w = cfg.width
 
-    def block_math(x: jax.Array, bp: Params):
-        y = layers.layer_norm(bp["ln_1"], x)
-        qkv = layers.linear(bp["attn"]["in_proj"], y)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(n, t, cfg.heads, cfg.head_dim)
-        k = k.reshape(n, t, cfg.heads, cfg.head_dim)
-        v = v.reshape(n, t, cfg.heads, cfg.head_dim)
-        attn_out = encoder_self_attention(q, k, v)
-        attn_out = layers.linear(bp["attn"]["out_proj"], attn_out.reshape(n, t, cfg.width))
-        x = x + attn_out
-        y = layers.layer_norm(bp["ln_2"], x)
-        y = layers.linear(bp["mlp"]["c_fc"], y)
-        y = layers.quick_gelu(y)
-        y = layers.linear(bp["mlp"]["c_proj"], y)
-        return x + y, k, v
-
-    if keep_layers is None:
-        def block_fn(carry, bp):
-            x2, k, v = block_math(carry, bp)
-            return x2, {"k": k, "v": v}
-
-        _, kvs = jax.lax.scan(block_fn, h, params["blocks"])
-        return kvs
-
-    nsel = len(keep_layers)
-    last = max(keep_layers)
-    # static per-layer scatter plan: destination slot (or 0) + keep flag
-    dest = np.zeros((cfg.layers,), np.int32)
-    keep = np.zeros((cfg.layers,), bool)
-    for slot, layer in enumerate(keep_layers):
-        dest[layer] = slot
-        keep[layer] = True
-
-    store_dtype = jnp.int8 if kv_int8 else compute_dtype
-    acc_shape = (nsel, n, t, cfg.heads, cfg.head_dim)
-    acc0 = {
-        "k": jnp.zeros(acc_shape, store_dtype),
-        "v": jnp.zeros(acc_shape, store_dtype),
-    }
-    if kv_int8:
-        acc0["k_scale"] = jnp.zeros((nsel, cfg.heads), jnp.float32)
-        acc0["v_scale"] = jnp.zeros((nsel, cfg.heads), jnp.float32)
+    keep = (
+        tuple(range(cfg.layers)) if keep_layers is None else tuple(keep_layers)
+    )
+    last = max(keep)
 
     def quantize(f):
         """(N, T, H, D) -> int8 values + per-head scale."""
@@ -231,56 +202,34 @@ def clip_vision_kv(
         ).astype(jnp.int8)
         return q, scale
 
-    def block_fn(carry, xs):
-        x, acc = carry
-        bp, d, kp = xs
-        x2, k, v = block_math(x, bp)
-
-        def write(a):
+    collected: Dict[int, tuple] = {}
+    for i in range(last + 1):
+        bp = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
+        y = layers.layer_norm(bp["ln_1"], h)
+        qkv = layers.linear(bp["attn"]["in_proj"], y)  # (N, T, 3W) packed
+        if i in keep:
+            k = qkv[..., w : 2 * w].reshape(n, t, cfg.heads, cfg.head_dim)
+            v = qkv[..., 2 * w :].reshape(n, t, cfg.heads, cfg.head_dim)
             if kv_int8:
-                kq, ks = quantize(k)
-                vq, vs = quantize(v)
-                return {
-                    "k": jax.lax.dynamic_update_index_in_dim(a["k"], kq, d, 0),
-                    "v": jax.lax.dynamic_update_index_in_dim(a["v"], vq, d, 0),
-                    "k_scale": jax.lax.dynamic_update_index_in_dim(a["k_scale"], ks, d, 0),
-                    "v_scale": jax.lax.dynamic_update_index_in_dim(a["v_scale"], vs, d, 0),
-                }
-            return {
-                "k": jax.lax.dynamic_update_index_in_dim(a["k"], k.astype(compute_dtype), d, 0),
-                "v": jax.lax.dynamic_update_index_in_dim(a["v"], v.astype(compute_dtype), d, 0),
-            }
+                collected[i] = quantize(k) + quantize(v)  # (kq, ks, vq, vs)
+            else:
+                collected[i] = (k.astype(compute_dtype), v.astype(compute_dtype))
+        if i < last:
+            attn_out = encoder_self_attention_qkv(qkv, cfg.heads, cfg.head_dim)
+            h = h + layers.linear(bp["attn"]["out_proj"], attn_out)
+            y = layers.layer_norm(bp["ln_2"], h)
+            y = layers.linear(bp["mlp"]["c_fc"], y)
+            y = layers.quick_gelu(y)
+            h = h + layers.linear(bp["mlp"]["c_proj"], y)
 
-        acc = jax.lax.cond(kp, write, lambda a: a, acc)
-        return (x2, acc), None
-
-    # Scan the full blocks strictly BEFORE the last kept layer; the last kept
-    # layer only contributes its K/V, which depend on ln_1 + qkv projection —
-    # its attention/MLP (and any later blocks) are dead work and skipped.
-    prefix = jax.tree_util.tree_map(lambda a: a[:last], params["blocks"])
-    (h, kvs), _ = jax.lax.scan(
-        block_fn, (h, acc0),
-        (prefix, jnp.asarray(dest[:last]), jnp.asarray(keep[:last])),
-    )
-    last_bp = jax.tree_util.tree_map(lambda a: a[last], params["blocks"])
-    y = layers.layer_norm(last_bp["ln_1"], h)
-    qkv = layers.linear(last_bp["attn"]["in_proj"], y)
-    _, k_last, v_last = jnp.split(qkv, 3, axis=-1)
-    k_last = k_last.reshape(n, t, cfg.heads, cfg.head_dim)
-    v_last = v_last.reshape(n, t, cfg.heads, cfg.head_dim)
-    slot = int(dest[last])
     if kv_int8:
-        kq, ks = quantize(k_last)
-        vq, vs = quantize(v_last)
-        kvs = {
-            "k": kvs["k"].at[slot].set(kq),
-            "v": kvs["v"].at[slot].set(vq),
-            "k_scale": kvs["k_scale"].at[slot].set(ks),
-            "v_scale": kvs["v_scale"].at[slot].set(vs),
+        return {
+            "k": jnp.stack([collected[i][0] for i in keep]),
+            "k_scale": jnp.stack([collected[i][1] for i in keep]),
+            "v": jnp.stack([collected[i][2] for i in keep]),
+            "v_scale": jnp.stack([collected[i][3] for i in keep]),
         }
-    else:
-        kvs = {
-            "k": kvs["k"].at[slot].set(k_last.astype(compute_dtype)),
-            "v": kvs["v"].at[slot].set(v_last.astype(compute_dtype)),
-        }
-    return kvs
+    return {
+        "k": jnp.stack([collected[i][0] for i in keep]),
+        "v": jnp.stack([collected[i][1] for i in keep]),
+    }

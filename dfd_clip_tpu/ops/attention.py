@@ -29,6 +29,13 @@ def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     return jnp.einsum("nhqk,nkhd->nqhd", probs, v)
 
 
+def _backend() -> str:
+    backend = os.environ.get("DFD_ATTENTION_BACKEND", "auto")
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    return backend
+
+
 def encoder_self_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Dispatch to the configured attention backend.
 
@@ -36,9 +43,7 @@ def encoder_self_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Arra
     than the XLA path for the 197-token encoder blocks, see PERF.md), XLA
     elsewhere. Override with DFD_ATTENTION_BACKEND=xla|pallas.
     """
-    backend = os.environ.get("DFD_ATTENTION_BACKEND", "auto")
-    if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    backend = _backend()
     if backend == "xla":
         return _xla_attention(q, k, v)
     if backend == "pallas":
@@ -46,3 +51,33 @@ def encoder_self_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Arra
 
         return fused_encoder_attention(q, k, v)
     raise ValueError(f"Unknown attention backend: {backend}")
+
+
+def encoder_self_attention_qkv(qkv: jax.Array, heads: int, head_dim: int) -> jax.Array:
+    """Self-attention over the PACKED qkv projection.
+
+    qkv: (N, T, 3·width) — the in-projection output laid out [q | k | v],
+    each a width-wide block of ``heads`` × ``head_dim`` columns. Returns the
+    head-merged attention output (N, T, width), ready for the out-projection.
+
+    Why packed: Pallas kernels are XLA custom-calls, and custom-call inputs
+    cannot fuse with their producers — splitting q/k/v first would
+    materialize three full (N, T, width) copies per encoder layer just to
+    feed the kernel (measured ~4 ms/batch at flagship shapes, PERF.md). The
+    packed form consumes the qkv GEMM's output buffer directly.
+    """
+    n, t, w3 = qkv.shape
+    w = heads * head_dim
+    assert w3 == 3 * w, (qkv.shape, heads, head_dim)
+    backend = _backend()
+    if backend == "pallas":
+        from .pallas_attention import fused_encoder_attention_qkv
+
+        return fused_encoder_attention_qkv(qkv, heads, head_dim)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    out = _xla_attention(
+        q.reshape(n, t, heads, head_dim),
+        k.reshape(n, t, heads, head_dim),
+        v.reshape(n, t, heads, head_dim),
+    )
+    return out.reshape(n, t, w)

@@ -69,6 +69,58 @@ def _make_encoder_kernel(heads: int, head_dim: int, frames: int):
     return kernel
 
 
+def _make_encoder_qkv_kernel(heads: int, head_dim: int, frames: int):
+    """Packed-qkv variant: one (T, 3·H·D) block per frame, [q | k | v]."""
+    w = heads * head_dim
+
+    def kernel(qkv_ref, o_ref):
+        scale = head_dim ** -0.5
+
+        def col(base, h):
+            return slice(base + h * head_dim, base + (h + 1) * head_dim)
+
+        for f in range(frames):
+            xf = qkv_ref[f]  # (T, 3W) bf16
+            logits = [
+                jax.lax.dot_general(
+                    xf[:, col(0, h)], xf[:, col(w, h)],
+                    (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+                ) * scale
+                for h in range(heads)
+            ]
+            ps, sums = [], []
+            for l in logits:
+                p = jnp.exp(jnp.minimum(l, _LOGIT_CLAMP))
+                ps.append(p.astype(o_ref.dtype))
+                sums.append(jnp.sum(p, axis=-1, keepdims=True))  # (T, 1)
+            for h in range(heads):
+                o = jnp.dot(ps[h], xf[:, col(2 * w, h)],
+                            preferred_element_type=jnp.float32)
+                o_ref[f, :, h * head_dim : (h + 1) * head_dim] = (
+                    o / sums[h]
+                ).astype(o_ref.dtype)
+
+    return kernel
+
+
+def fused_encoder_attention_qkv(qkv: jax.Array, heads: int, head_dim: int) -> jax.Array:
+    """(N, T, 3·H·D) packed [q|k|v] -> (N, T, H·D); two frames per grid step."""
+    n, t, w3 = qkv.shape
+    hd = heads * head_dim
+    frames = 2 if n % 2 == 0 else 1
+
+    return pl.pallas_call(
+        _make_encoder_qkv_kernel(heads, head_dim, frames),
+        out_shape=jax.ShapeDtypeStruct((n, t, hd), qkv.dtype),
+        grid=(n // frames,),
+        in_specs=[
+            pl.BlockSpec((frames, t, w3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((frames, t, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(qkv)
+
+
 def fused_encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """(N, T, H, D) x3 -> (N, T, H, D); two frames (all heads) per grid step."""
     n, t, h, d = q.shape

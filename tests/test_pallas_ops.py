@@ -21,6 +21,19 @@ def test_fused_encoder_attention_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
 
 
+def test_fused_encoder_attention_qkv_matches_xla(rng):
+    from dfd_clip_tpu.ops.pallas_attention import fused_encoder_attention_qkv
+
+    n, t, h, d = 4, 197, 4, 64
+    qkv = jnp.asarray(rng.standard_normal((n, t, 3 * h * d)), jnp.float32)
+    got = fused_encoder_attention_qkv(qkv, h, d)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    want = _xla_attention(
+        q.reshape(n, t, h, d), k.reshape(n, t, h, d), v.reshape(n, t, h, d)
+    ).reshape(n, t, h * d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
 def test_fused_decoder_attention_matches_xla(rng):
     b, h, d, t, p = 2, 4, 64, 5, 8
     l = t * p
