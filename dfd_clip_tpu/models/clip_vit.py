@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import layers
+from ..ops import attention as attention_ops
 from ..ops.attention import encoder_self_attention_qkv
 
 Params = Dict[str, Any]
@@ -166,11 +167,16 @@ def clip_vision_kv(
     compute_dtype: jnp.dtype = jnp.bfloat16,
     keep_layers: Optional[tuple] = None,
     kv_int8: bool = False,
+    drop_cls: bool = False,
 ) -> Dict[str, jax.Array]:
     """Run the frozen tower, exporting per-layer head-split K and V.
 
     Returns {"k": (L, N, T, H, D), "v": (L, N, T, H, D)} where T includes the
-    CLS token (callers drop index 0, cf. src/models.py:505-507). With
+    CLS token (callers drop index 0, cf. src/models.py:505-507) unless
+    ``drop_cls`` — then the CLS column is sliced off *before* the layer stack
+    is materialized, so the stack write IS the final decoder-layout K/V
+    buffer and the consumer's ``[:, :, 1:]`` copy (a full extra HBM
+    read+write of the largest intermediate) disappears. With
     ``keep_layers`` (a static tuple of layer indices) only those layers' K/V
     are collected; blocks after the last kept layer, and the attention/MLP of
     the last kept layer itself (its K/V depend only on ln_1 + qkv), are dead
@@ -202,21 +208,49 @@ def clip_vision_kv(
         ).astype(jnp.int8)
         return q, scale
 
+    fused = attention_ops.use_fused_blocks()
     collected: Dict[int, tuple] = {}
     for i in range(last + 1):
         bp = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
-        y = layers.layer_norm(bp["ln_1"], h)
-        qkv = layers.linear(bp["attn"]["in_proj"], y)  # (N, T, 3W) packed
-        if i in keep:
-            k = qkv[..., w : 2 * w].reshape(n, t, cfg.heads, cfg.head_dim)
-            v = qkv[..., 2 * w :].reshape(n, t, cfg.heads, cfg.head_dim)
+        k = v = None
+        if fused:
+            # One Pallas call runs LN1 + qkv GEMM + attention + out-proj
+            # (+ the K/V export, CLS-dropped, straight out of VMEM); the
+            # packed qkv stream never touches HBM. The last kept layer only
+            # needs LN1 + qkv, so it runs the export-only kernel variant.
+            from ..ops.pallas_attention import fused_encoder_attn_block
+
+            if i == last:
+                k, v = fused_encoder_attn_block(
+                    h, bp["ln_1"], bp["attn"], cfg.heads, cfg.head_dim,
+                    drop_cls=drop_cls, last_only=True,
+                )
+            elif i in keep:
+                h, k, v = fused_encoder_attn_block(
+                    h, bp["ln_1"], bp["attn"], cfg.heads, cfg.head_dim,
+                    export=True, drop_cls=drop_cls,
+                )
+            else:
+                h = fused_encoder_attn_block(
+                    h, bp["ln_1"], bp["attn"], cfg.heads, cfg.head_dim,
+                )
+        else:
+            y = layers.layer_norm(bp["ln_1"], h)
+            qkv = layers.linear(bp["attn"]["in_proj"], y)  # (N, T, 3W) packed
+            if i in keep:
+                src = qkv[:, 1:] if drop_cls else qkv
+                tt = t - 1 if drop_cls else t
+                k = src[..., w : 2 * w].reshape(n, tt, cfg.heads, cfg.head_dim)
+                v = src[..., 2 * w :].reshape(n, tt, cfg.heads, cfg.head_dim)
+            if i < last:
+                attn_out = encoder_self_attention_qkv(qkv, cfg.heads, cfg.head_dim)
+                h = h + layers.linear(bp["attn"]["out_proj"], attn_out)
+        if k is not None:
             if kv_int8:
                 collected[i] = quantize(k) + quantize(v)  # (kq, ks, vq, vs)
             else:
                 collected[i] = (k.astype(compute_dtype), v.astype(compute_dtype))
         if i < last:
-            attn_out = encoder_self_attention_qkv(qkv, cfg.heads, cfg.head_dim)
-            h = h + layers.linear(bp["attn"]["out_proj"], attn_out)
             y = layers.layer_norm(bp["ln_2"], h)
             y = layers.linear(bp["mlp"]["c_fc"], y)
             y = layers.quick_gelu(y)

@@ -271,6 +271,7 @@ class Detector:
             kvs = clip_vit.clip_vision_kv(
                 params["encoder"], frames, self.vit_cfg, self.compute_dtype,
                 keep_layers=tuple(self.layer_indices), kv_int8=kv_int8,
+                drop_cls=True,
             )
             if kv_int8:
                 kvs = {
@@ -284,11 +285,14 @@ class Detector:
 
             kvs = dinov2_vit.dinov2_kv(
                 params["encoder"], frames, self.vit_cfg, self.compute_dtype,
-                keep_layers=tuple(self.layer_indices),
+                keep_layers=tuple(self.layer_indices), drop_cls=True,
             )
         out = {}
         for s in ("k", "v"):
-            feats = kvs[s][:, :, 1:]  # drop CLS token
+            # CLS is dropped at the export site (drop_cls=True above), so the
+            # tower's stack write already has the final (Lsel, N, P, H, D)
+            # layout and this is a free reshape, not a full-stream copy.
+            feats = kvs[s]
             nsel, _, p, h, d = feats.shape
             out[s] = jax.lax.stop_gradient(feats.reshape(nsel, b, t, p, h, d))
         return out

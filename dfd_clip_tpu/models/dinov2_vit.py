@@ -233,8 +233,11 @@ def dinov2_kv(
     cfg: ViTConfig,
     compute_dtype: jnp.dtype = jnp.bfloat16,
     keep_layers=None,
+    drop_cls: bool = False,
 ) -> Dict[str, jax.Array]:
-    """{"k","v"}: (L, N, T, H, D) with CLS at token 0 (callers drop it).
+    """{"k","v"}: (L, N, T, H, D) with CLS at token 0 (callers drop it) —
+    or pre-dropped at the accumulator write when ``drop_cls`` (saves the
+    consumer's full-stream slice copy, same as clip_vit).
 
     ``keep_layers`` (static tuple) scatters only those layers' K/V into the
     output accumulator — same memory optimization as clip_vit."""
@@ -271,10 +274,13 @@ def dinov2_kv(
         y = apply_ffn(bp["mlp"], y)
         return h + bp["ls2"].astype(h.dtype) * y, k, v
 
+    def trim(a):
+        return a[:, 1:] if drop_cls else a
+
     if keep_layers is None:
         def block_fn(carry, bp):
             h, k, v = block_math(carry, bp)
-            return h, {"k": k, "v": v}
+            return h, {"k": trim(k), "v": trim(v)}
 
         _, kvs = jax.lax.scan(block_fn, x, params["blocks"])
         return kvs
@@ -287,7 +293,7 @@ def dinov2_kv(
         dest[layer] = slot
         keep[layer] = True
 
-    acc_shape = (nsel, n, t, cfg.heads, cfg.head_dim)
+    acc_shape = (nsel, n, t - 1 if drop_cls else t, cfg.heads, cfg.head_dim)
     acc0 = {
         "k": jnp.zeros(acc_shape, compute_dtype),
         "v": jnp.zeros(acc_shape, compute_dtype),
@@ -300,8 +306,10 @@ def dinov2_kv(
 
         def write(a):
             return {
-                "k": jax.lax.dynamic_update_index_in_dim(a["k"], k.astype(compute_dtype), d, 0),
-                "v": jax.lax.dynamic_update_index_in_dim(a["v"], v.astype(compute_dtype), d, 0),
+                "k": jax.lax.dynamic_update_index_in_dim(
+                    a["k"], trim(k).astype(compute_dtype), d, 0),
+                "v": jax.lax.dynamic_update_index_in_dim(
+                    a["v"], trim(v).astype(compute_dtype), d, 0),
             }
 
         acc = jax.lax.cond(kp, write, lambda a: a, acc)
@@ -321,10 +329,10 @@ def dinov2_kv(
     slot = int(dest[last])
     kvs = {
         "k": kvs["k"].at[slot].set(
-            k_last.reshape(n, t, cfg.heads, cfg.head_dim).astype(compute_dtype)
+            trim(k_last.reshape(n, t, cfg.heads, cfg.head_dim)).astype(compute_dtype)
         ),
         "v": kvs["v"].at[slot].set(
-            v_last.reshape(n, t, cfg.heads, cfg.head_dim).astype(compute_dtype)
+            trim(v_last.reshape(n, t, cfg.heads, cfg.head_dim)).astype(compute_dtype)
         ),
     }
     return kvs

@@ -36,6 +36,13 @@ def _backend() -> str:
     return backend
 
 
+def use_fused_blocks() -> bool:
+    """True when the encoder should run the fused Pallas attention-block
+    kernel (LN1+qkv+attention+out-proj in one custom call); the XLA
+    composition remains the fallback and the parity oracle."""
+    return _backend() == "pallas"
+
+
 def encoder_self_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Dispatch to the configured attention backend.
 

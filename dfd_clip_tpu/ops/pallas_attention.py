@@ -121,6 +121,157 @@ def fused_encoder_attention_qkv(qkv: jax.Array, heads: int, head_dim: int) -> ja
     )(qkv)
 
 
+def _make_attn_block_kernel(
+    heads: int, head_dim: int, frames: int, export: bool, drop_cls: bool,
+    last_only: bool,
+):
+    """Fused encoder block front half: LN1 + qkv GEMM + attention + out-proj
+    + residual, with optional in-VMEM K/V export.
+
+    ``last_only`` builds the export-only variant (the last kept layer's K/V
+    depend only on ln_1 + qkv; no attention/out-proj runs and no h' is
+    emitted — cf. clip_vit.clip_vision_kv's dead-work note).
+    """
+    w = heads * head_dim
+
+    def kernel(h_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, lns_ref, lnb_ref,
+               *out_refs):
+        scale = head_dim ** -0.5
+        if last_only:
+            k_ref, v_ref = out_refs
+            ho_ref = None
+        elif export:
+            ho_ref, k_ref, v_ref = out_refs
+        else:
+            (ho_ref,) = out_refs
+            k_ref = v_ref = None
+
+        def col(base, h):
+            return slice(base + h * head_dim, base + (h + 1) * head_dim)
+
+        for f in range(frames):
+            hf = h_ref[f]  # (T, W) bf16
+            # LayerNorm in f32 (layers.layer_norm semantics).
+            x32 = hf.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=-1, keepdims=True)
+            var = jnp.var(x32, axis=-1, keepdims=True)
+            y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+            y = y * lns_ref[...] + lnb_ref[...]
+            # qkv projection on the MXU, f32 accumulate, bias, back to bf16.
+            qkv = jax.lax.dot_general(
+                y.astype(h_ref.dtype), wqkv_ref[...],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            ) + bqkv_ref[...]
+            xf = qkv.astype(h_ref.dtype)  # (T, 3W)
+            if k_ref is not None:
+                lo = 1 if drop_cls else 0
+                k_ref[f] = xf[lo:, w : 2 * w]
+                v_ref[f] = xf[lo:, 2 * w :]
+            if last_only:
+                continue
+            logits = [
+                jax.lax.dot_general(
+                    xf[:, col(0, h)], xf[:, col(w, h)],
+                    (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+                ) * scale
+                for h in range(heads)
+            ]
+            ps, sums = [], []
+            for l in logits:
+                p = jnp.exp(jnp.minimum(l, _LOGIT_CLAMP))
+                ps.append(p.astype(h_ref.dtype))
+                sums.append(jnp.sum(p, axis=-1, keepdims=True))  # (T, 1)
+            cols = []
+            for h in range(heads):
+                o = jnp.dot(ps[h], xf[:, col(2 * w, h)],
+                            preferred_element_type=jnp.float32)
+                cols.append(o / sums[h])
+            attn = jnp.concatenate(cols, axis=-1).astype(h_ref.dtype)  # (T, W)
+            out = jax.lax.dot_general(
+                attn, wo_ref[...],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            ) + bo_ref[...]
+            ho_ref[f] = hf + out.astype(h_ref.dtype)
+
+    return kernel
+
+
+def fused_encoder_attn_block(
+    h: jax.Array,
+    ln: dict,
+    attn: dict,
+    heads: int,
+    head_dim: int,
+    *,
+    export: bool = False,
+    drop_cls: bool = False,
+    last_only: bool = False,
+):
+    """One fused call for the encoder block's attention half.
+
+    h: (N, T, W) bf16 residual stream. ln: {"scale","bias"} fp32 (W,).
+    attn: {"in_proj": {"w","b"}, "out_proj": {"w","b"}} fp32 params.
+
+    Returns ``h_out`` — or ``(h_out, k, v)`` with k/v (N, T', H, D) bf16 when
+    ``export`` (T' = T-1 under ``drop_cls``) — or just ``(k, v)`` when
+    ``last_only``. Fusing keeps the (N, T, 3W) qkv stream entirely in VMEM:
+    the unfused XLA program writes it to HBM after the GEMM and re-reads it
+    for the attention custom-call (~0.6 GB of round-trips per flagship layer,
+    PERF.md).
+    """
+    n, t, w = h.shape
+    assert w == heads * head_dim
+    frames = 2 if n % 2 == 0 else 1
+    t_out = t - 1 if drop_cls else t
+    dt = h.dtype
+
+    wqkv = attn["in_proj"]["w"].astype(dt)
+    bqkv = attn["in_proj"]["b"].astype(jnp.float32).reshape(1, 3 * w)
+    wo = attn["out_proj"]["w"].astype(dt)
+    bo = attn["out_proj"]["b"].astype(jnp.float32).reshape(1, w)
+    lns = ln["scale"].astype(jnp.float32).reshape(1, w)
+    lnb = ln["bias"].astype(jnp.float32).reshape(1, w)
+
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    blocked = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0, 0),
+                                         memory_space=pltpu.VMEM)
+
+    out_shapes, out_specs = [], []
+    if not last_only:
+        out_shapes.append(jax.ShapeDtypeStruct((n, t, w), dt))
+        out_specs.append(blocked((frames, t, w)))
+    if export or last_only:
+        for _ in ("k", "v"):
+            out_shapes.append(jax.ShapeDtypeStruct((n, t_out, w), dt))
+            out_specs.append(blocked((frames, t_out, w)))
+
+    outs = pl.pallas_call(
+        _make_attn_block_kernel(heads, head_dim, frames, export, drop_cls,
+                                last_only),
+        out_shape=tuple(out_shapes),
+        grid=(n // frames,),
+        in_specs=[
+            blocked((frames, t, w)),
+            const((w, 3 * w)), const((1, 3 * w)),
+            const((w, w)), const((1, w)),
+            const((1, w)), const((1, w)),
+        ],
+        out_specs=tuple(out_specs),
+        interpret=_interpret(),
+    )(h, wqkv, bqkv, wo, bo, lns, lnb)
+
+    def split_kv(kf, vf):
+        return (kf.reshape(n, t_out, heads, head_dim),
+                vf.reshape(n, t_out, heads, head_dim))
+
+    if last_only:
+        return split_kv(*outs)
+    if export:
+        return outs[0], *split_kv(outs[1], outs[2])
+    return outs[0]
+
+
 def fused_encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """(N, T, H, D) x3 -> (N, T, H, D); two frames (all heads) per grid step."""
     n, t, h, d = q.shape

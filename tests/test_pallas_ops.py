@@ -34,6 +34,58 @@ def test_fused_encoder_attention_qkv_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("mode", ["export", "plain", "last_only"])
+def test_fused_attn_block_matches_xla_composition(rng, mode):
+    """LN1 + qkv GEMM + attention + out-proj + residual in one kernel."""
+    from dfd_clip_tpu.models import layers
+    from dfd_clip_tpu.ops.attention import encoder_self_attention_qkv
+    from dfd_clip_tpu.ops.pallas_attention import fused_encoder_attn_block
+
+    n, t, h, d = 4, 197, 4, 64
+    w = h * d
+    hin = jnp.asarray(rng.standard_normal((n, t, w)), jnp.float32)
+    keys = jax.random.split(jax.random.key(0), 2)
+    ln = layers.init_layer_norm(w)
+    ln = {"scale": ln["scale"] + 0.3, "bias": ln["bias"] - 0.1}
+    attn = {
+        "in_proj": layers.init_linear(keys[0], w, 3 * w),
+        "out_proj": layers.init_linear(keys[1], w, w),
+    }
+
+    y = layers.layer_norm(ln, hin)
+    qkv = layers.linear(attn["in_proj"], y)
+    k_want = qkv[:, 1:, w : 2 * w].reshape(n, t - 1, h, d)
+    v_want = qkv[:, 1:, 2 * w :].reshape(n, t - 1, h, d)
+    h_want = hin + layers.linear(
+        attn["out_proj"], encoder_self_attention_qkv(qkv, h, d)
+    )
+
+    if mode == "export":
+        ho, k, v = fused_encoder_attn_block(
+            hin, ln, attn, h, d, export=True, drop_cls=True
+        )
+    elif mode == "plain":
+        ho = fused_encoder_attn_block(hin, ln, attn, h, d)
+        k = v = None
+    else:
+        k, v = fused_encoder_attn_block(
+            hin, ln, attn, h, d, drop_cls=True, last_only=True
+        )
+        ho = None
+
+    if ho is not None:
+        np.testing.assert_allclose(
+            np.asarray(ho), np.asarray(h_want), rtol=2e-4, atol=2e-4
+        )
+    if k is not None:
+        np.testing.assert_allclose(
+            np.asarray(k), np.asarray(k_want), rtol=2e-4, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(v_want), rtol=2e-4, atol=2e-4
+        )
+
+
 def test_fused_decoder_attention_matches_xla(rng):
     b, h, d, t, p = 2, 4, 64, 5, 8
     l = t * p
