@@ -196,16 +196,35 @@ def main():
             out = run_batch()
         np.asarray(out)
 
-        # median of 3 windows: the shared single-CPU host is noisy
+        # median of 3 windows: the shared single-CPU host is noisy. Dispatch
+        # runs pipelined with bounded depth (sync the oldest of 3 in-flight
+        # batches): steady-state serving keeps the device queue non-empty, a
+        # per-batch sync would instead pay the tunnel RTT + the host-side
+        # dispatch work once per batch, serialized against decode on this
+        # single-core host.
+        depth = 3
         window_times = []
         for _ in range(3):
+            inflight = []
             t0 = time.perf_counter()
-            outputs = [run_batch() for _ in range(BENCH_STEPS)]
-            for out in outputs:  # logits are (B, 2): negligible D2H
+            for _ in range(BENCH_STEPS):
+                inflight.append(run_batch())
+                if len(inflight) >= depth:  # logits (B, 2): negligible D2H
+                    np.asarray(inflight.pop(0))
+            for out in inflight:
                 np.asarray(out)
             window_times.append(time.perf_counter() - t0)
         elapsed = sorted(window_times)[1]
         stop.set()
+
+        # tunnel H2D bandwidth at transfer-sized payloads: e2e on this dev
+        # host is bounded by it and it varies run to run — record it so the
+        # e2e number can be normalized (production hosts use PCIe/DMA).
+        payload = buffers[0][0]  # (B, T, RES, RES) uint8 = 16 MB
+        jax.device_put(payload)
+        t0 = time.perf_counter()
+        jax.device_put(payload)
+        tunnel_mbps = payload.nbytes / (time.perf_counter() - t0) / 1e6
 
     clips_per_sec = BATCH_CLIPS * BENCH_STEPS / elapsed
     n_chips = jax.device_count()
@@ -232,7 +251,9 @@ def main():
                 "unit": "clips/s/chip",
                 "vs_baseline": round(per_chip / BASELINE_EST_CLIPS_PER_SEC, 3),
                 "device_only_clips_per_sec_chip": round(dev_per_chip, 2),
-                "note": "e2e bound by the dev host: 1 CPU core + ~75MB/s TPU tunnel",
+                "tunnel_h2d_mbps": round(tunnel_mbps, 1),
+                "note": "e2e bound by the dev host: 1 CPU core + the measured"
+                        " tunnel_h2d_mbps TPU link (24 MB YUV per 16-clip batch)",
             }
         )
     )

@@ -221,7 +221,14 @@ def fused_encoder_attn_block(
     """
     n, t, w = h.shape
     assert w == heads * head_dim
-    frames = 2 if n % 2 == 0 else 1
+    # Frames per grid step: larger steps raise the qkv GEMM's M (197·frames)
+    # toward full MXU efficiency at the cost of VMEM; 4 measured best at
+    # ViT-B flagship shapes (DFD_FUSED_FRAMES overrides for experiments).
+    import os
+
+    frames = int(os.environ.get("DFD_FUSED_FRAMES", "4"))
+    while frames > 1 and n % frames:
+        frames //= 2
     t_out = t - 1 if drop_cls else t
     dt = h.dtype
 
