@@ -58,19 +58,30 @@ def dual_activation_attention(
 
         return fused_decoder_attention(q_smax, q_coda, k, v, mask, temporal_pos)
 
-    if temporal_pos is not None:
-        k = k + temporal_pos[None].astype(k.dtype)
-        v = v + temporal_pos[None].astype(v.dtype)
-
     d = q_smax.shape[-1]
     scale = d ** -0.5
     f32 = jnp.float32
     m = mask[:, None, :, None]  # (B, 1, L, 1)
 
+    # The shared temporal pos is added to K and V; done naively that
+    # materializes two full (B, L, H, D) copies of the largest activation.
+    # The contractions distribute instead — q·(k+pos) = q·k + q·pos and
+    # aff@(v+pos) = aff@v + aff@pos — where the pos terms read the tiny
+    # (L, H, D) embedding, not the batch-sized stream. Only the CoDA L1 gate
+    # needs the literal k+pos values; that add fuses into its single
+    # elementwise pass over K.
+    pos = None
+    if temporal_pos is not None:
+        pos = jnp.broadcast_to(temporal_pos, k.shape[1:]).astype(f32)  # (L,H,D)
+
     # --- softmax branch ---
     logits = jnp.einsum(
         "bqhd,blhd->bqlh", q_smax * scale, k, preferred_element_type=f32
     )
+    if pos is not None:
+        logits = logits + jnp.einsum(
+            "bqhd,lhd->bqlh", (q_smax * scale).astype(f32), pos
+        )
     neg_inf = jnp.asarray(-jnp.inf, f32)
     logits = jnp.where(m, logits, neg_inf)
     if not attn_mode:
@@ -90,11 +101,17 @@ def dual_activation_attention(
     aff_smax = jnp.where(jnp.isnan(aff_smax), jnp.zeros((), f32), aff_smax)
 
     # --- CoDA branch ---
-    aff_coda = jnp.tanh(
-        jnp.einsum("bqhd,blhd->bqlh", q_coda * scale, k, preferred_element_type=f32)
+    coda_logits = jnp.einsum(
+        "bqhd,blhd->bqlh", q_coda * scale, k, preferred_element_type=f32
     )
+    if pos is not None:
+        coda_logits = coda_logits + jnp.einsum(
+            "bqhd,lhd->bqlh", (q_coda * scale).astype(f32), pos
+        )
+    aff_coda = jnp.tanh(coda_logits)
+    kp = k.astype(f32) if pos is None else k.astype(f32) + pos[None]
     l1 = jnp.sum(
-        jnp.abs(q_coda[:, :, None].astype(f32) - k[:, None, :].astype(f32)), axis=-1
+        jnp.abs(q_coda[:, :, None].astype(f32) - kp[:, None, :]), axis=-1
     )  # (B, Q, L, H)
     gate = 2.0 * jax.nn.sigmoid(-l1 * scale)
     gate = jnp.where(m, gate, jnp.zeros((), f32))
@@ -104,4 +121,6 @@ def dual_activation_attention(
     out = jnp.einsum(
         "bqlh,blhd->bqhd", aff.astype(v.dtype), v, preferred_element_type=f32
     )
+    if pos is not None:
+        out = out + jnp.einsum("bqlh,lhd->bqhd", aff, pos)
     return out.astype(v.dtype)

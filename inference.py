@@ -15,6 +15,7 @@ import json
 import logging
 import pickle
 import warnings
+from collections import deque
 from datetime import datetime
 from os import path
 
@@ -166,12 +167,9 @@ def main(args):
                            for x, m, nv in parts]
 
         local_probs, local_labels = [], []
-        for label, parts in prefetch_iter(sub_batches(), place):
-            logits = []
-            for xd, md, n_valid in parts:
-                out = predict_fn(params, xd, md)
-                logits.append(np.asarray(out)[:n_valid])
-            logits = np.concatenate(logits)
+
+        def drain(label, outs):
+            logits = np.concatenate([np.asarray(o)[:nv] for o, nv in outs])
             p = _softmax(logits)
 
             if args.modality == "clip":
@@ -182,6 +180,18 @@ def main(args):
                 local_labels.append(np.asarray([label[0]]))
             else:
                 raise NotImplementedError(args.modality)
+
+        # Bounded dispatch pipeline: keep a few videos' predictions in
+        # flight and materialize the oldest, so the device never idles on
+        # the host's per-batch sync (device logits are (N, out_dim) — tiny).
+        pending: "deque" = deque()
+        for label, parts in prefetch_iter(sub_batches(), place):
+            outs = [(predict_fn(params, xd, md), nv) for xd, md, nv in parts]
+            pending.append((label, outs))
+            if len(pending) >= 3:
+                drain(*pending.popleft())
+        while pending:
+            drain(*pending.popleft())
 
         # one ragged-safe gather for the whole shard (per-rank video counts
         # and clip counts differ; per-video collectives would deadlock)
