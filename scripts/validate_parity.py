@@ -47,7 +47,7 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
-def _load_frames(args) -> np.ndarray:
+def _load_frames(args, res: int) -> np.ndarray:
     """(N, 3, res, res) float32, CLIP-normalized."""
     from dfd_clip_tpu.data import video as video_lib
     from dfd_clip_tpu.models.detector import CLIP_MEAN, CLIP_STD
@@ -56,18 +56,18 @@ def _load_frames(args) -> np.ndarray:
         rng = np.random.default_rng(0)
         # Unnormalized pixel statistics: uniform [0,1) then CLIP-normalize —
         # matches the dynamic range real frames hit after ToTensor+Normalize.
-        x = rng.random((args.frames, 3, 224, 224), np.float32)
+        x = rng.random((args.frames, 3, res, res), np.float32)
     else:
         backend = video_lib.get_backend()
         meta = backend.probe(args.video)
         times = [i / max(meta.fps, 1.0) for i in range(args.frames)]
         frames = backend.read_frames(args.video, times)  # (N, H, W, 3) uint8
         x = np.transpose(frames.astype(np.float32) / 255.0, (0, 3, 1, 2))
-        if x.shape[-1] != 224:
+        if x.shape[-1] != res:
             import cv2
 
             x = np.stack([
-                np.transpose(cv2.resize(np.transpose(f, (1, 2, 0)), (224, 224)),
+                np.transpose(cv2.resize(np.transpose(f, (1, 2, 0)), (res, res)),
                              (2, 0, 1))
                 for f in x
             ])
@@ -115,7 +115,7 @@ def main(argv=None) -> int:
         print(f"warning: missing torch keys: {missing}", file=sys.stderr)
     vt.eval()
 
-    x = _load_frames(args)
+    x = _load_frames(args, cfg.input_resolution)
     with torch.no_grad():
         ref_kvs = vt(torch.from_numpy(x))
 
