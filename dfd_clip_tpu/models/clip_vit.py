@@ -168,6 +168,7 @@ def clip_vision_kv(
     keep_layers: Optional[tuple] = None,
     kv_int8: bool = False,
     drop_cls: bool = False,
+    compute_int8: bool = False,
 ) -> Dict[str, jax.Array]:
     """Run the frozen tower, exporting per-layer head-split K and V.
 
@@ -251,10 +252,14 @@ def clip_vision_kv(
             else:
                 collected[i] = (k.astype(compute_dtype), v.astype(compute_dtype))
         if i < last:
+            # op_mode.compute_int8: W8A8 on the MLP GEMMs (measured ~1.5x the
+            # bf16 MXU at c_fc shapes, PERF.md round-2 roofline; accuracy
+            # drift bounded in tests/test_models.py::test_compute_int8_drift)
+            lin = layers.linear_w8a8 if compute_int8 else layers.linear
             y = layers.layer_norm(bp["ln_2"], h)
-            y = layers.linear(bp["mlp"]["c_fc"], y)
+            y = lin(bp["mlp"]["c_fc"], y)
             y = layers.quick_gelu(y)
-            h = h + layers.linear(bp["mlp"]["c_proj"], y)
+            h = h + lin(bp["mlp"]["c_proj"], y)
 
     if kv_int8:
         return {

@@ -272,6 +272,7 @@ class Detector:
                 params["encoder"], frames, self.vit_cfg, self.compute_dtype,
                 keep_layers=tuple(self.layer_indices), kv_int8=kv_int8,
                 drop_cls=True,
+                compute_int8=bool(self.op_mode.get("compute_int8", 0)),
             )
             if kv_int8:
                 kvs = {

@@ -40,6 +40,34 @@ def linear(params: Params, x: jax.Array) -> jax.Array:
     return y
 
 
+def linear_w8a8(params: Params, x: jax.Array) -> jax.Array:
+    """x @ w (+ b) on the int8 MXU path: dynamic per-token activation
+    scales x per-out-channel weight scales, f32 dequant epilogue.
+
+    The measured int8 GEMM advantage at encoder shapes is ~1.5x bf16
+    (PERF.md round-2 roofline); this is the opt-in W8A8 compute path
+    (op_mode.compute_int8) for the frozen encoder — weights stay fp32 in
+    the checkpoint and quantize at trace time (one cheap absmax pass,
+    constant-folded into the graph where XLA can).
+    """
+    w = params["w"].astype(jnp.float32)
+    w_scale = jnp.max(jnp.abs(w), axis=0, keepdims=True) + 1e-8      # (1, N)
+    wq = jnp.round(w / w_scale * 127.0).astype(jnp.int8)
+
+    x32 = x.astype(jnp.float32)
+    x_scale = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) + 1e-8   # (..., 1)
+    xq = jnp.clip(jnp.round(x32 / x_scale * 127.0), -127, 127).astype(jnp.int8)
+
+    acc = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (x_scale / 127.0) * (w_scale / 127.0)
+    if "b" in params:
+        y = y + params["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def dropout(x: jax.Array, rate: float, rng: jax.Array | None, train: bool) -> jax.Array:
     if not train or rate == 0.0 or rng is None:
         return x

@@ -455,3 +455,27 @@ def test_int8_kv_export_parity(rng):
     # logits remain L2-norm 5
     np.testing.assert_allclose(np.linalg.norm(np.asarray(quant[0]), axis=-1),
                                5.0, rtol=1e-4)
+
+
+def test_compute_int8_drift(rng):
+    """op_mode.compute_int8 runs the encoder MLPs as W8A8 int8 GEMMs
+    (PERF.md round-2 roofline: ~1.5x the bf16 MXU). Quantization drift on
+    the exported K/V and final logits must stay small."""
+    det_fp = _tiny_detector()
+    det_q = _tiny_detector(op_mode={"temporal_position": 1, "compute_int8": 1})
+    params = det_fp.init_params(jax.random.key(0))
+    x = rng.integers(0, 255, (2, 4, 3, 32, 32), dtype=np.uint8)
+    m = jnp.ones((2, 4), bool)
+
+    kv_fp = det_fp.encode_kv(params, det_fp.preprocess(jnp.asarray(x)))
+    kv_q = det_q.encode_kv(params, det_q.preprocess(jnp.asarray(x)))
+    for s in ("k", "v"):
+        a = np.asarray(kv_fp[s], np.float32).ravel()
+        b = np.asarray(kv_q[s], np.float32).ravel()
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+        assert cos > 0.995, f"{s} cosine {cos}"
+
+    base, _ = det_fp.predict(params, jnp.asarray(x), m)
+    quant, _ = det_q.predict(params, jnp.asarray(x), m)
+    np.testing.assert_allclose(np.asarray(quant[0]), np.asarray(base[0]),
+                               rtol=0.15, atol=0.3)
