@@ -252,6 +252,14 @@ def clip_vision_kv(
             else:
                 collected[i] = (k.astype(compute_dtype), v.astype(compute_dtype))
         if i < last:
+            import os
+
+            if fused and not compute_int8 and os.environ.get("DFD_FUSED_MLP"):
+                # experimental: the MLP half in one Pallas call too
+                from ..ops.pallas_attention import fused_encoder_mlp_block
+
+                h = fused_encoder_mlp_block(h, bp["ln_2"], bp["mlp"])
+                continue
             # op_mode.compute_int8: W8A8 on the MLP GEMMs (measured ~1.5x the
             # bf16 MXU at c_fc shapes, PERF.md round-2 roofline; accuracy
             # drift bounded in tests/test_models.py::test_compute_int8_drift)

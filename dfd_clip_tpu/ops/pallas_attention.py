@@ -279,6 +279,77 @@ def fused_encoder_attn_block(
     return outs[0]
 
 
+def _make_mlp_block_kernel(frames: int):
+    """LN2 + c_fc + QuickGELU + c_proj + residual, one fused call."""
+
+    def kernel(h_ref, wfc_ref, bfc_ref, wproj_ref, bproj_ref, lns_ref,
+               lnb_ref, ho_ref):
+        for f in range(frames):
+            hf = h_ref[f]  # (T, W) bf16
+            x32 = hf.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=-1, keepdims=True)
+            var = jnp.var(x32, axis=-1, keepdims=True)
+            y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+            y = y * lns_ref[...] + lnb_ref[...]
+            mid = jax.lax.dot_general(
+                y.astype(h_ref.dtype), wfc_ref[...],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            ) + bfc_ref[...]
+            mid = mid * jax.nn.sigmoid(1.702 * mid)  # QuickGELU, f32
+            out = jax.lax.dot_general(
+                mid.astype(h_ref.dtype), wproj_ref[...],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            ) + bproj_ref[...]
+            ho_ref[f] = hf + out.astype(h_ref.dtype)
+
+    return kernel
+
+
+def fused_encoder_mlp_block(h: jax.Array, ln: dict, mlp: dict) -> jax.Array:
+    """One fused call for the encoder block's MLP half.
+
+    h: (N, T, W) bf16; ln: ln_2 params; mlp: {"c_fc","c_proj"} fp32 params.
+    Removes the separate LN pass over the stream and keeps the (T, 4W)
+    intermediate in VMEM. 2 frames per grid step (the (2T, 4W) f32
+    intermediate + both weight matrices bound VMEM; DFD_MLP_FRAMES
+    overrides for experiments).
+    """
+    import os
+
+    n, t, w = h.shape
+    hidden = mlp["c_fc"]["w"].shape[1]
+    dt = h.dtype
+    frames = int(os.environ.get("DFD_MLP_FRAMES", "2"))
+    while frames > 1 and n % frames:
+        frames //= 2
+
+    wfc = mlp["c_fc"]["w"].astype(dt)
+    bfc = mlp["c_fc"]["b"].astype(jnp.float32).reshape(1, hidden)
+    wproj = mlp["c_proj"]["w"].astype(dt)
+    bproj = mlp["c_proj"]["b"].astype(jnp.float32).reshape(1, w)
+    lns = ln["scale"].astype(jnp.float32).reshape(1, w)
+    lnb = ln["bias"].astype(jnp.float32).reshape(1, w)
+
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    blocked = pl.BlockSpec((frames, t, w), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _make_mlp_block_kernel(frames),
+        out_shape=jax.ShapeDtypeStruct((n, t, w), dt),
+        grid=(n // frames,),
+        in_specs=[
+            blocked,
+            const((w, hidden)), const((1, hidden)),
+            const((hidden, w)), const((1, w)),
+            const((1, w)), const((1, w)),
+        ],
+        out_specs=blocked,
+        interpret=_interpret(),
+    )(h, wfc, bfc, wproj, bproj, lns, lnb)
+
+
 def fused_encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """(N, T, H, D) x3 -> (N, T, H, D); two frames (all heads) per grid step."""
     n, t, h, d = q.shape

@@ -86,6 +86,28 @@ def test_fused_attn_block_matches_xla_composition(rng, mode):
         )
 
 
+def test_fused_mlp_block_matches_xla_composition(rng):
+    from dfd_clip_tpu.models import layers
+    from dfd_clip_tpu.ops.pallas_attention import fused_encoder_mlp_block
+
+    n, t, w = 4, 197, 256
+    hin = jnp.asarray(rng.standard_normal((n, t, w)), jnp.float32)
+    keys = jax.random.split(jax.random.key(1), 2)
+    ln = layers.init_layer_norm(w)
+    ln = {"scale": ln["scale"] * 1.1, "bias": ln["bias"] + 0.05}
+    mlp = {
+        "c_fc": layers.init_linear(keys[0], w, 4 * w),
+        "c_proj": layers.init_linear(keys[1], 4 * w, w),
+    }
+    want = hin + layers.linear(
+        mlp["c_proj"], layers.quick_gelu(
+            layers.linear(mlp["c_fc"], layers.layer_norm(ln, hin)))
+    )
+    got = fused_encoder_mlp_block(hin, ln, mlp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_fused_decoder_attention_matches_xla(rng):
     b, h, d, t, p = 2, 4, 64, 5, 8
     l = t * p
