@@ -90,8 +90,10 @@ class Scorer:
         clips = np.stack(clips)
         masks = np.ones(clips.shape[:2], bool)
 
-        logits = []
         with self._lock:
+            # dispatch every sub-batch before materializing any: the device
+            # pipeline stays full instead of paying link RTT per batch
+            pending = []
             N = self.batch_size
             for i in range(0, len(clips), N):
                 x, m = clips[i : i + N], masks[i : i + N]
@@ -99,7 +101,8 @@ class Scorer:
                 if valid < N and len(clips) > N:
                     x = np.concatenate([x, np.repeat(x[-1:], N - valid, 0)])
                     m = np.concatenate([m, np.repeat(m[-1:], N - valid, 0)])
-                logits.append(np.asarray(self._predict(self.params, x, m))[:valid])
+                pending.append((self._predict(self.params, x, m), valid))
+            logits = [np.asarray(o)[:valid] for o, valid in pending]
         logits = np.concatenate(logits)
         e = np.exp(logits - logits.max(-1, keepdims=True))
         p = e / e.sum(-1, keepdims=True)
