@@ -210,6 +210,26 @@ def clip_vision_kv(
         return q, scale
 
     fused = attention_ops.use_fused_blocks()
+    # Fused + plain-bf16 export writes K/V straight into slices of the final
+    # (Lsel, N, T', W) accumulators (input_output_aliases, in-place): the
+    # per-layer arrays and the jnp.stack copy never exist. kv_int8 needs the
+    # per-layer arrays for quantization and keeps the collected path.
+    import os as _os
+
+    stacked_export = (fused and not kv_int8
+                      and _os.environ.get("DFD_STACKED_EXPORT", "1") != "0")
+    slot_of = {layer: s for s, layer in enumerate(keep)}
+    nsel = len(keep)
+    kacc = vacc = None
+    if stacked_export:
+        # zero-init accumulators (one pass over the K/V footprint). An
+        # uninitialized-buffer allocation (no-op ANY-space pallas outputs)
+        # was tried and compiles to the same kernels, but nudges Mosaic's
+        # scoped-VMEM accounting over the 16 MB limit at frames=4 — the
+        # zeros form is the one that reliably compiles.
+        tt = t - 1 if drop_cls else t
+        kacc = jnp.zeros((nsel, n, tt, w), h.dtype)
+        vacc = jnp.zeros((nsel, n, tt, w), h.dtype)
     collected: Dict[int, tuple] = {}
     for i in range(last + 1):
         bp = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
@@ -221,16 +241,28 @@ def clip_vision_kv(
             # needs LN1 + qkv, so it runs the export-only kernel variant.
             from ..ops.pallas_attention import fused_encoder_attn_block
 
+            into = (
+                (kacc, vacc, slot_of[i], nsel)
+                if stacked_export and i in keep else None
+            )
             if i == last:
-                k, v = fused_encoder_attn_block(
+                out = fused_encoder_attn_block(
                     h, bp["ln_1"], bp["attn"], cfg.heads, cfg.head_dim,
-                    drop_cls=drop_cls, last_only=True,
+                    drop_cls=drop_cls, last_only=True, export_into=into,
                 )
+                if stacked_export:
+                    kacc, vacc = out
+                else:
+                    k, v = out
             elif i in keep:
-                h, k, v = fused_encoder_attn_block(
+                out = fused_encoder_attn_block(
                     h, bp["ln_1"], bp["attn"], cfg.heads, cfg.head_dim,
-                    export=True, drop_cls=drop_cls,
+                    export=True, drop_cls=drop_cls, export_into=into,
                 )
+                if stacked_export:
+                    h, kacc, vacc = out
+                else:
+                    h, k, v = out
             else:
                 h = fused_encoder_attn_block(
                     h, bp["ln_1"], bp["attn"], cfg.heads, cfg.head_dim,
@@ -279,6 +311,14 @@ def clip_vision_kv(
             "k_scale": jnp.stack([collected[i][1] for i in keep]),
             "v": jnp.stack([collected[i][2] for i in keep]),
             "v_scale": jnp.stack([collected[i][3] for i in keep]),
+        }
+    if stacked_export:
+        tt = t - 1 if drop_cls else t
+        return {
+            "k": kacc.reshape(nsel, n, tt, cfg.heads, cfg.head_dim
+                              ).astype(compute_dtype),
+            "v": vacc.reshape(nsel, n, tt, cfg.heads, cfg.head_dim
+                              ).astype(compute_dtype),
         }
     return {
         "k": jnp.stack([collected[i][0] for i in keep]),

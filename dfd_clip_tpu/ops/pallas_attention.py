@@ -123,27 +123,32 @@ def fused_encoder_attention_qkv(qkv: jax.Array, heads: int, head_dim: int) -> ja
 
 def _make_attn_block_kernel(
     heads: int, head_dim: int, frames: int, export: bool, drop_cls: bool,
-    last_only: bool,
+    last_only: bool, stacked: bool = False, skip_inputs: int = 0,
 ):
     """Fused encoder block front half: LN1 + qkv GEMM + attention + out-proj
     + residual, with optional in-VMEM K/V export.
 
     ``last_only`` builds the export-only variant (the last kept layer's K/V
     depend only on ln_1 + qkv; no attention/out-proj runs and no h' is
-    emitted — cf. clip_vit.clip_vision_kv's dead-work note).
+    emitted — cf. clip_vit.clip_vision_kv's dead-work note). ``stacked``
+    writes K/V into (1, frames, T', W) blocks of a (Lsel, N, T', W)
+    accumulator instead of per-layer arrays (see fused_encoder_attn_block's
+    export_into).
     """
     w = heads * head_dim
 
     def kernel(h_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, lns_ref, lnb_ref,
                *out_refs):
         scale = head_dim ** -0.5
+        if skip_inputs:
+            out_refs = out_refs[skip_inputs:]  # aliased accumulator INPUT refs
         if last_only:
-            k_ref, v_ref = out_refs
+            k_ref, v_ref = out_refs[:2]
             ho_ref = None
         elif export:
-            ho_ref, k_ref, v_ref = out_refs
+            ho_ref, k_ref, v_ref = out_refs[:3]
         else:
-            (ho_ref,) = out_refs
+            ho_ref = out_refs[0]
             k_ref = v_ref = None
 
         def col(base, h):
@@ -165,8 +170,12 @@ def _make_attn_block_kernel(
             xf = qkv.astype(h_ref.dtype)  # (T, 3W)
             if k_ref is not None:
                 lo = 1 if drop_cls else 0
-                k_ref[f] = xf[lo:, w : 2 * w]
-                v_ref[f] = xf[lo:, 2 * w :]
+                if stacked:
+                    k_ref[0, f] = xf[lo:, w : 2 * w]
+                    v_ref[0, f] = xf[lo:, 2 * w :]
+                else:
+                    k_ref[f] = xf[lo:, w : 2 * w]
+                    v_ref[f] = xf[lo:, 2 * w :]
             if last_only:
                 continue
             logits = [
@@ -196,6 +205,24 @@ def _make_attn_block_kernel(
     return kernel
 
 
+def alloc_kv_accumulators(nsel: int, n: int, t_out: int, w: int, dtype):
+    """Allocate the (Lsel, N, T', W) K/V export accumulators WITHOUT a zeros
+    pass: a no-op kernel whose ANY-space outputs are simply buffer
+    allocations (contents undefined — every slot is written in place by its
+    layer's export call before any consumer reads it)."""
+
+    def kernel(k_ref, v_ref):
+        pass
+
+    shape = jax.ShapeDtypeStruct((nsel, n, t_out, w), dtype)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape),
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),) * 2,
+        interpret=_interpret(),
+    )()
+
+
 def fused_encoder_attn_block(
     h: jax.Array,
     ln: dict,
@@ -206,6 +233,7 @@ def fused_encoder_attn_block(
     export: bool = False,
     drop_cls: bool = False,
     last_only: bool = False,
+    export_into=None,
 ):
     """One fused call for the encoder block's attention half.
 
@@ -244,31 +272,69 @@ def fused_encoder_attn_block(
     blocked = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0, 0),
                                          memory_space=pltpu.VMEM)
 
+    stacked = export_into is not None
+    in_specs = [
+        blocked((frames, t, w)),
+        const((w, 3 * w)), const((1, 3 * w)),
+        const((w, w)), const((1, w)),
+        const((1, w)), const((1, w)),
+    ]
+    inputs = [h, wqkv, bqkv, wo, bo, lns, lnb]
+    aliases = {}
+
     out_shapes, out_specs = [], []
     if not last_only:
         out_shapes.append(jax.ShapeDtypeStruct((n, t, w), dt))
         out_specs.append(blocked((frames, t, w)))
     if export or last_only:
-        for _ in ("k", "v"):
-            out_shapes.append(jax.ShapeDtypeStruct((n, t_out, w), dt))
-            out_specs.append(blocked((frames, t_out, w)))
+        if stacked:
+            # Write this layer's K/V straight into slot `slot` of the
+            # (Lsel, N, T', W) accumulators: the per-layer arrays and the
+            # downstream jnp.stack copy (~2x the full K/V footprint in HBM
+            # round-trips) never exist. The accumulator inputs are aliased
+            # to the outputs — in-place, no defensive copy, because each
+            # accumulator version is dead after this call.
+            kacc, vacc, slot, nsel = export_into
+            kv_block = pl.BlockSpec(
+                (1, frames, t_out, w),
+                lambda i, _slot=slot: (_slot, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            assert kacc is not None and vacc is not None, (
+                "stacked export requires pre-allocated accumulators "
+                "(alloc_kv_accumulators)"
+            )
+            for acc in (kacc, vacc):
+                # the kernel never READS the aliased accumulator input — ANY
+                # keeps it out of VMEM (only output blocks staged); aliasing
+                # also keeps Mosaic's in-place output handling, which a
+                # fresh (non-aliased) stacked output would lose (measured:
+                # VMEM OOM at frames=4 without the alias)
+                aliases[len(inputs)] = len(out_shapes)
+                inputs.append(acc)
+                in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+                out_shapes.append(jax.ShapeDtypeStruct((nsel, n, t_out, w), dt))
+                out_specs.append(kv_block)
+        else:
+            for _ in ("k", "v"):
+                out_shapes.append(jax.ShapeDtypeStruct((n, t_out, w), dt))
+                out_specs.append(blocked((frames, t_out, w)))
 
     outs = pl.pallas_call(
         _make_attn_block_kernel(heads, head_dim, frames, export, drop_cls,
-                                last_only),
+                                last_only, stacked=stacked,
+                                skip_inputs=len(aliases)),
         out_shape=tuple(out_shapes),
         grid=(n // frames,),
-        in_specs=[
-            blocked((frames, t, w)),
-            const((w, 3 * w)), const((1, 3 * w)),
-            const((w, w)), const((1, w)),
-            const((1, w)), const((1, w)),
-        ],
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
+        input_output_aliases=aliases,
         interpret=_interpret(),
-    )(h, wqkv, bqkv, wo, bo, lns, lnb)
+    )(*inputs)
 
     def split_kv(kf, vf):
+        if stacked:
+            return kf, vf  # (Lsel, N, T', W) accumulators
         return (kf.reshape(n, t_out, heads, head_dim),
                 vf.reshape(n, t_out, heads, head_dim))
 
