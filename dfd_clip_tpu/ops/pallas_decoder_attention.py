@@ -44,8 +44,11 @@ def _interpret() -> bool:
 
 def _pick_tile(l: int) -> int:
     """512-row tiles (1.5 MB K+V per step, double-buffered); whole-L for
-    short streams."""
-    return 512 if l > 512 else -(-l // 128) * 128
+    short streams. DFD_DEC_TILE overrides for experiments."""
+    import os
+
+    tile = int(os.environ.get("DFD_DEC_TILE", "512"))
+    return tile if l > tile else -(-l // 128) * 128
 
 
 def _kernel(qblk_ref, qc_ref, k_ref, v_ref, m_ref, pos_ref, o_ref,
