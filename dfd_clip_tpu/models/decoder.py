@@ -198,8 +198,9 @@ def apply_decoder(
         q_smax = q_smax.reshape(b, -1, h, d)
         q_coda = q_coda.reshape(b, -1, h, d)
         attn_out = dual_activation_attention(
-            q_smax, q_coda, k_all[i], v_all[i], token_mask,
+            q_smax, q_coda, k_all, v_all, token_mask,
             num_frames=t, attn_mode=cfg.attn_mode, temporal_pos=pos_tok,
+            layer=i,
         )
         attn_out = layers.linear(blk["attn"]["out_proj"], attn_out.reshape(b, -1, cfg.width))
         x = x + attn_out

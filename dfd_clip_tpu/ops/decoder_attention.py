@@ -30,12 +30,18 @@ def dual_activation_attention(
     num_frames: int,
     attn_mode: Sequence[str] = (),
     temporal_pos: jax.Array | None = None,
+    layer: int | None = None,
 ) -> jax.Array:
     """Compute ((softmax + CoDA)/2) attention.
 
     Args:
       q_smax, q_coda: (B, Q, H, D) queries for each activation.
-      k, v: (B, L, H, D) with L = num_frames * patches.
+      k, v: (B, L, H, D) with L = num_frames * patches — or, with ``layer``,
+        the FULL stacked (Lsel, B, L, H, D) export buffers; the selected
+        slot is read without materializing a slice (custom-call operands
+        cannot fuse with a producer slice — measured ~1.1 ms/block of copy
+        at flagship shapes — so the Pallas path indexes inside its
+        BlockSpec, and the XLA path slices where XLA fuses it for free).
       mask: (B, L) bool, True = attendable token.
       num_frames: static frame count (for factorized attn_mode reshapes).
       attn_mode: subset of {"frame", "temporal"}; empty = plain softmax.
@@ -48,15 +54,21 @@ def dual_activation_attention(
     """
     import os
 
-    # XLA stays the default here even on TPU: measured (PERF.md round 2) the
-    # XLA path overlaps K/V prefetch across the decoder's 6 sequential
-    # blocks (1.4 ms/block) while back-to-back pallas custom calls barrier
-    # (2.5 ms/block). The fused kernel remains opt-in.
-    backend = os.environ.get("DFD_ATTENTION_BACKEND", "xla")
+    # auto: the Pallas kernel on TPU (stacked-input form measured 10.7 vs
+    # 11.3 ms XLA for the 6-block flagship decoder — and it sidesteps the
+    # (B, 1, L, H) f32 intermediate zoo), XLA elsewhere and for the
+    # factorized attn_mode / multi-query variants.
+    backend = os.environ.get("DFD_ATTENTION_BACKEND", "auto")
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas" and not attn_mode and q_smax.shape[1] == 1:
         from .pallas_decoder_attention import fused_decoder_attention
 
-        return fused_decoder_attention(q_smax, q_coda, k, v, mask, temporal_pos)
+        return fused_decoder_attention(q_smax, q_coda, k, v, mask,
+                                       temporal_pos, layer=layer)
+    if layer is not None:
+        k = k[layer]
+        v = v[layer]
 
     d = q_smax.shape[-1]
     scale = d ** -0.5

@@ -51,29 +51,37 @@ def _pick_tile(l: int) -> int:
     return tile if l > tile else -(-l // 128) * 128
 
 
+_LOGIT_CLAMP = 60.0  # exp(60)=1.1e26; 3920 tokens max -> sum < 4.5e29, far
+                     # below f32 overflow. Same trick as the encoder kernel:
+                     # softmax without max-subtraction is EXACT as long as
+                     # exp never overflows, so clamping replaces the whole
+                     # online-max machinery (the per-step (1,H)@(H,HD)
+                     # rescale matmuls were the kernel's dominant cost).
+
+
 def _kernel(qblk_ref, qc_ref, k_ref, v_ref, m_ref, pos_ref, o_ref,
-            acc_s, acc_c, run_m, run_d, *,
+            acc, run_d, *,
             heads: int, head_dim: int, scale: float, l_real: int, lt: int,
-            with_pos: bool):
+            with_pos: bool, stacked_in: bool = False):
     """One (sample, L-tile) step.
 
     Blocks: qblk (1, HD, 2H), qc (1, 1, HD), k/v (1, Lt, HD), m (1, Lt, 1),
-    pos (Lt, HD), out (1, 1, HD). Scratch: acc_s/acc_c (1, HD) f32,
-    run_m/run_d (1, H) f32. The final tile may read past L (no padding copy
-    upstream); out-of-bounds rows are masked via ``l_real``.
+    pos (Lt, HD), out (1, 1, HD). Scratch: acc (2H, HD) f32 — rows [:H] the
+    un-normalized softmax PV, rows [H:] the CoDA PV — and run_d (1, H) f32
+    softmax denominators. Per step: TWO MXU issues (logits, combined PV) +
+    the |qc-k| L1 matmul; normalization happens once on the final tile. The
+    final tile may read past L; out-of-bounds rows are masked via ``l_real``.
     """
     t = pl.program_id(1)
     hd = heads * head_dim
 
     @pl.when(t == 0)
     def _():
-        acc_s[:] = jnp.zeros_like(acc_s)
-        acc_c[:] = jnp.zeros_like(acc_c)
-        run_m[:] = jnp.full_like(run_m, -jnp.inf)
+        acc[:] = jnp.zeros_like(acc)
         run_d[:] = jnp.zeros_like(run_d)
 
-    k = k_ref[0]                       # (Lt, HD) bf16
-    v = v_ref[0]                       # (Lt, HD) bf16
+    k = k_ref[0, 0] if stacked_in else k_ref[0]   # (Lt, HD) bf16
+    v = v_ref[0, 0] if stacked_in else v_ref[0]   # (Lt, HD) bf16
     if with_pos:
         # shared temporal positional embedding, added to BOTH K and V here —
         # in-VMEM, so the (B, L, H, D) pos-added copies the XLA path
@@ -94,20 +102,6 @@ def _kernel(qblk_ref, qc_ref, k_ref, v_ref, m_ref, pos_ref, o_ref,
     row_head = jax.lax.broadcasted_iota(jnp.int32, (heads, hd), 0)
     E = (col_head == row_head).astype(jnp.float32)
 
-    def expand(w):  # (1, H) f32 -> (1, HD)
-        return jax.lax.dot_general(
-            w, E, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-
-    def pv(w):
-        """sum_l w[l,h] * v[l, h*D+d] -> (1, HD): one Lt-contraction matmul
-        to (H, HD), then keep each head's own block via E."""
-        full = jax.lax.dot_general(
-            w.astype(v.dtype), v, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (H, HD)
-        return jnp.sum(full * E, axis=0, keepdims=True)  # (1, HD)
-
     # all-heads logits, both activations, one MXU issue: (Lt, 2H) f32
     logits = jax.lax.dot_general(
         k, qblk_ref[0], (((1,), (0,)), ((), ())),
@@ -118,32 +112,33 @@ def _kernel(qblk_ref, qc_ref, k_ref, v_ref, m_ref, pos_ref, o_ref,
 
     # ---- CoDA branch: tanh(lc) * 2*sigmoid(-|qc - k|_1 * scale) * mask ----
     diff = jnp.abs(qc_ref[0] - k.astype(jnp.float32))  # (Lt, HD) f32
-    l1 = jnp.concatenate(
-        [
-            jnp.sum(diff[:, h * head_dim : (h + 1) * head_dim], axis=1, keepdims=True)
-            for h in range(heads)
-        ],
-        axis=1,
+    # per-head L1 as ONE MXU segmented sum (|diff| @ E^T) instead of H
+    # sliced 64-lane reductions + concatenate
+    l1 = jax.lax.dot_general(
+        diff, E, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (Lt, H)
     gate = 2.0 * jax.nn.sigmoid(-l1 * scale)
     wc = jnp.where(mcol, jnp.tanh(lc) * gate, 0.0)     # (Lt, H)
-    acc_c[:] = acc_c[:] + pv(wc)
 
-    # ---- softmax branch: online accumulation across tiles ----
-    ls = jnp.where(mcol, ls, -jnp.inf)                 # (Lt, H)
-    tile_max = jnp.max(ls, axis=0, keepdims=True)      # (1, H)
-    new_m = jnp.maximum(run_m[:], tile_max)
-    # rescale prior accumulator/denominator; exp(-inf - -inf) guarded to 0
-    corr = jnp.where(jnp.isfinite(run_m[:]), jnp.exp(run_m[:] - new_m), 0.0)
-    p = jnp.where(mcol, jnp.exp(ls - new_m), 0.0)      # (Lt, H)
-    run_d[:] = run_d[:] * corr + jnp.sum(p, axis=0, keepdims=True)
-    acc_s[:] = acc_s[:] * expand(corr) + pv(p)
-    run_m[:] = new_m
+    # ---- softmax branch: clamped exp, no running max ----
+    p = jnp.where(mcol, jnp.exp(jnp.minimum(ls, _LOGIT_CLAMP)), 0.0)
+    run_d[:] = run_d[:] + jnp.sum(p, axis=0, keepdims=True)
+
+    # combined PV for BOTH branches: one (2H, Lt)x(Lt, HD) MXU issue
+    wboth = jnp.concatenate([p, wc], axis=1).astype(v.dtype)   # (Lt, 2H)
+    acc[:] = acc[:] + jax.lax.dot_general(
+        wboth, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # (2H, HD)
 
     @pl.when(t == pl.num_programs(1) - 1)
     def _():
         denom = jnp.maximum(run_d[:], 1e-30)           # fully-masked -> 0 out
-        o_ref[0] = (0.5 * (acc_s[:] * expand(1.0 / denom) + acc_c[:])).astype(o_ref.dtype)
+        # per-head normalize the softmax rows, then E-mask both halves down
+        # to their own head's lane block and sum over heads
+        o_s = jnp.sum(acc[:heads] * (1.0 / denom).reshape(heads, 1) * E,
+                      axis=0, keepdims=True)           # (1, HD)
+        o_c = jnp.sum(acc[heads:] * E, axis=0, keepdims=True)
+        o_ref[0] = (0.5 * (o_s + o_c)).astype(o_ref.dtype)
 
 
 def fused_decoder_attention(
@@ -153,6 +148,7 @@ def fused_decoder_attention(
     v: jax.Array,
     mask: jax.Array,
     temporal_pos: jax.Array | None = None,
+    layer: int | None = None,
 ) -> jax.Array:
     """(B,1,H,D), (B,1,H,D), (B,L,H,D), (B,L,H,D), (B,L) -> (B,1,H,D).
 
@@ -160,17 +156,30 @@ def fused_decoder_attention(
     temporal positional embedding, added to K AND V inside the kernel —
     callers should NOT pre-add it (that materializes two (B, L, H, D)
     copies the fusion exists to avoid). L may be any size; the final
-    partial tile is masked in-kernel (no padding copies)."""
+    partial tile is masked in-kernel (no padding copies).
+
+    ``layer``: when set, k/v are the FULL stacked (Lsel, B, L, H, D)
+    export buffers and this call reads slot ``layer`` via its BlockSpec
+    index map. Custom-call operands cannot alias a producer slice, so
+    passing ``k_all[i]`` materializes a fresh (B, L, H, D) copy per block
+    (measured ~1.1 ms/block at flagship shapes); indexing inside the block
+    spec reads the encoder's accumulator directly — zero copies."""
     b, q, h, d = q_smax.shape
     assert q == 1, "fused decoder attention is specialized for a single query"
-    l = k.shape[1]
+    stacked_in = layer is not None
+    l = k.shape[2] if stacked_in else k.shape[1]
     hd = h * d
     scale = d ** -0.5
     lt = _pick_tile(l)
     n_tiles = -(-l // lt)
 
-    kf = k.reshape(b, l, hd)
-    vf = v.reshape(b, l, hd)
+    if stacked_in:
+        nblk = k.shape[0]
+        kf = k.reshape(nblk, b, l, hd)
+        vf = v.reshape(nblk, b, l, hd)
+    else:
+        kf = k.reshape(b, l, hd)
+        vf = v.reshape(b, l, hd)
     mf = mask.astype(jnp.int32)[..., None]  # (B, L, 1)
 
     with_pos = temporal_pos is not None
@@ -191,8 +200,17 @@ def fused_decoder_attention(
 
     kernel = functools.partial(
         _kernel, heads=h, head_dim=d, scale=scale, l_real=l, lt=lt,
-        with_pos=with_pos,
+        with_pos=with_pos, stacked_in=stacked_in,
     )
+    if stacked_in:
+        kv_spec = pl.BlockSpec(
+            (1, 1, lt, hd),
+            lambda i, t, _layer=layer: (_layer, i, t, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        kv_spec = pl.BlockSpec((1, lt, hd), lambda i, t: (i, t, 0),
+                               memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, 1, hd), v.dtype),
@@ -200,16 +218,14 @@ def fused_decoder_attention(
         in_specs=[
             pl.BlockSpec((1, hd, 2 * h), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, hd), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lt, hd), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lt, hd), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
+            kv_spec,
+            kv_spec,
             pl.BlockSpec((1, lt, 1), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((lt, hd), pos_index, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, hd), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((1, hd), jnp.float32),
-            pltpu.VMEM((1, hd), jnp.float32),
-            pltpu.VMEM((1, h), jnp.float32),
+            pltpu.VMEM((2 * h, hd), jnp.float32),
             pltpu.VMEM((1, h), jnp.float32),
         ],
         interpret=_interpret(),
