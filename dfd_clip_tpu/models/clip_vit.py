@@ -209,7 +209,12 @@ def clip_vision_kv(
         ).astype(jnp.int8)
         return q, scale
 
-    fused = attention_ops.use_fused_blocks()
+    # The fused-block kernels budget VMEM for ViT-B geometry: at w=1024
+    # (ViT-L) the resident weights alone (qkv 6.3 MB, MLP 16.8 MB bf16)
+    # exceed the ~16 MB scoped-VMEM limit, so wide towers run the XLA
+    # composition (which still uses the Pallas attention-only kernel via
+    # encoder_self_attention_qkv).
+    fused = attention_ops.use_fused_blocks() and cfg.width <= 768
     # Fused + plain-bf16 export writes K/V straight into slices of the final
     # (Lsel, N, T', W) accumulators (input_output_aliases, in-place): the
     # per-layer arrays and the jnp.stack copy never exist. kv_int8 needs the

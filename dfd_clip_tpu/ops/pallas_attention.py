@@ -104,10 +104,12 @@ def _make_encoder_qkv_kernel(heads: int, head_dim: int, frames: int):
 
 
 def fused_encoder_attention_qkv(qkv: jax.Array, heads: int, head_dim: int) -> jax.Array:
-    """(N, T, 3·H·D) packed [q|k|v] -> (N, T, H·D); two frames per grid step."""
+    """(N, T, 3·H·D) packed [q|k|v] -> (N, T, H·D); two frames per grid step
+    (one for wide towers — at ViT-L geometry the (2, 257, 3072) qkv blocks
+    plus 16 heads of (257, 257) f32 logits exceed the ~16 MB scoped VMEM)."""
     n, t, w3 = qkv.shape
     hd = heads * head_dim
-    frames = 2 if n % 2 == 0 else 1
+    frames = 2 if n % 2 == 0 and hd <= 768 else 1
 
     return pl.pallas_call(
         _make_encoder_qkv_kernel(heads, head_dim, frames),
