@@ -243,6 +243,36 @@ def main():
         np.asarray(o)
     dev_per_chip = BATCH_CLIPS * 10 / (time.perf_counter() - t0) / n_chips
 
+    # opt-in W8A8 mode (op_mode.compute_int8): ~1.3x the bf16 default on the
+    # int8 MXU with in-kernel dynamic activation quant. Reported separately —
+    # the headline stays the numerics-default path (K/V drift bounds in
+    # tests/test_models.py::test_compute_int8_drift; validate on real CLIP
+    # weights via scripts/validate_parity.py before enabling in production).
+    int8_per_chip = None
+    if os.environ.get("BENCH_SKIP_INT8") != "1":
+        from dfd_clip_tpu.models.detector import Detector
+
+        icfg = Detector.get_default_config()
+        icfg.merge_from_other_cfg(
+            {
+                "decode_mode": "index",
+                "decode_indices": [6, 7, 8, 9, 10, 11],
+                "out_dim": [2],
+                "losses": ["auc_roc"],
+                "op_mode": {"temporal_position": 1, "compute_int8": 1},
+            }
+        )
+        imodel = Detector(icfg, num_frames=NUM_FRAMES)
+        ipredict = jax.jit(lambda p, x, m: imodel.predict(p, x, m)[0][0])
+        np.asarray(ipredict(params, xd, md))
+        t0 = time.perf_counter()
+        outs = [ipredict(params, xd, md) for _ in range(10)]
+        for o in outs:
+            np.asarray(o)
+        int8_per_chip = round(
+            BATCH_CLIPS * 10 / (time.perf_counter() - t0) / n_chips, 2
+        )
+
     print(
         json.dumps(
             {
@@ -251,6 +281,7 @@ def main():
                 "unit": "clips/s/chip",
                 "vs_baseline": round(per_chip / BASELINE_EST_CLIPS_PER_SEC, 3),
                 "device_only_clips_per_sec_chip": round(dev_per_chip, 2),
+                "device_only_int8_optin_clips_per_sec_chip": int8_per_chip,
                 "tunnel_h2d_mbps": round(tunnel_mbps, 1),
                 "note": "e2e bound by the dev host: 1 CPU core + the measured"
                         " tunnel_h2d_mbps TPU link (24 MB YUV per 16-clip batch)",

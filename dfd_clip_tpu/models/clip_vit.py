@@ -254,6 +254,7 @@ def clip_vision_kv(
                 out = fused_encoder_attn_block(
                     h, bp["ln_1"], bp["attn"], cfg.heads, cfg.head_dim,
                     drop_cls=drop_cls, last_only=True, export_into=into,
+                    int8_gemm=compute_int8,
                 )
                 if stacked_export:
                     kacc, vacc = out
@@ -263,6 +264,7 @@ def clip_vision_kv(
                 out = fused_encoder_attn_block(
                     h, bp["ln_1"], bp["attn"], cfg.heads, cfg.head_dim,
                     export=True, drop_cls=drop_cls, export_into=into,
+                    int8_gemm=compute_int8,
                 )
                 if stacked_export:
                     h, kacc, vacc = out
@@ -271,6 +273,7 @@ def clip_vision_kv(
             else:
                 h = fused_encoder_attn_block(
                     h, bp["ln_1"], bp["attn"], cfg.heads, cfg.head_dim,
+                    int8_gemm=compute_int8,
                 )
         else:
             y = layers.layer_norm(bp["ln_1"], h)
@@ -291,15 +294,16 @@ def clip_vision_kv(
         if i < last:
             import os
 
-            if (fused and not compute_int8
-                    and os.environ.get("DFD_FUSED_MLP", "1") != "0"):
+            if fused and os.environ.get("DFD_FUSED_MLP", "1") != "0":
                 # the MLP half in one Pallas call too: LN2 + c_fc + QuickGELU
                 # + c_proj + residual with the (T, 4W) intermediate in VMEM.
                 # Measured same-process A/B at flagship shapes: predict
-                # 94.5 -> 87.2 ms (DFD_FUSED_MLP=0 opts out).
+                # 94.5 -> 87.2 ms (DFD_FUSED_MLP=0 opts out). With
+                # compute_int8 both GEMMs run W8A8 in-kernel.
                 from ..ops.pallas_attention import fused_encoder_mlp_block
 
-                h = fused_encoder_mlp_block(h, bp["ln_2"], bp["mlp"])
+                h = fused_encoder_mlp_block(h, bp["ln_2"], bp["mlp"],
+                                            int8_gemm=compute_int8)
                 continue
             # op_mode.compute_int8: W8A8 on the MLP GEMMs (measured ~1.5x the
             # bf16 MXU at c_fc shapes, PERF.md round-2 roofline; accuracy

@@ -123,9 +123,35 @@ def fused_encoder_attention_qkv(qkv: jax.Array, heads: int, head_dim: int) -> ja
     )(qkv)
 
 
+def _quant_rows(y):
+    """f32 (T, C) -> (int8 values, (T, 1) f32 scales): dynamic per-row
+    absmax quantization for W8A8 GEMM inputs, entirely in VMEM."""
+    s = jnp.max(jnp.abs(y), axis=-1, keepdims=True) + 1e-8
+    q = jnp.clip(jnp.round(y / s * 127.0), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _w8a8_dot(yq, y_s, wq_ref, ws_ref):
+    """int8 x int8 -> i32 -> f32 with per-row x per-channel dequant."""
+    acc = jax.lax.dot_general(
+        yq, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * (y_s / 127.0) * (ws_ref[...] / 127.0)
+
+
+def quantize_weight(w):
+    """fp32 (K, N) -> int8 weight + (1, N) f32 per-channel absmax scale.
+    Weights are frozen, so this runs once per trace."""
+    w = w.astype(jnp.float32)
+    s = jnp.max(jnp.abs(w), axis=0, keepdims=True) + 1e-8
+    return jnp.round(w / s * 127.0).astype(jnp.int8), s
+
+
 def _make_attn_block_kernel(
     heads: int, head_dim: int, frames: int, export: bool, drop_cls: bool,
     last_only: bool, stacked: bool = False, skip_inputs: int = 0,
+    int8_gemm: bool = False,
 ):
     """Fused encoder block front half: LN1 + qkv GEMM + attention + out-proj
     + residual, with optional in-VMEM K/V export.
@@ -139,8 +165,13 @@ def _make_attn_block_kernel(
     """
     w = heads * head_dim
 
-    def kernel(h_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, lns_ref, lnb_ref,
-               *out_refs):
+    def kernel(h_ref, wqkv_ref, *rest):
+        if int8_gemm:
+            (wqs_ref, bqkv_ref, wo_ref, bo_ref, lns_ref, lnb_ref,
+             *out_refs) = rest
+        else:
+            bqkv_ref, wo_ref, bo_ref, lns_ref, lnb_ref, *out_refs = rest
+            wqs_ref = None
         scale = head_dim ** -0.5
         if skip_inputs:
             out_refs = out_refs[skip_inputs:]  # aliased accumulator INPUT refs
@@ -164,11 +195,18 @@ def _make_attn_block_kernel(
             var = jnp.var(x32, axis=-1, keepdims=True)
             y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
             y = y * lns_ref[...] + lnb_ref[...]
-            # qkv projection on the MXU, f32 accumulate, bias, back to bf16.
-            qkv = jax.lax.dot_general(
-                y.astype(h_ref.dtype), wqkv_ref[...],
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            ) + bqkv_ref[...]
+            if int8_gemm:
+                # W8A8 qkv: the LN output quantizes in-VMEM (free), the
+                # int8 MXU runs ~1.5x the bf16 rate at this shape (PERF.md)
+                yq, y_s = _quant_rows(y)
+                qkv = _w8a8_dot(yq, y_s, wqkv_ref, wqs_ref) + bqkv_ref[...]
+            else:
+                # qkv projection on the MXU, f32 accumulate, bias -> bf16.
+                qkv = jax.lax.dot_general(
+                    y.astype(h_ref.dtype), wqkv_ref[...],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + bqkv_ref[...]
             xf = qkv.astype(h_ref.dtype)  # (T, 3W)
             if k_ref is not None:
                 lo = 1 if drop_cls else 0
@@ -236,6 +274,7 @@ def fused_encoder_attn_block(
     drop_cls: bool = False,
     last_only: bool = False,
     export_into=None,
+    int8_gemm: bool = False,
 ):
     """One fused call for the encoder block's attention half.
 
@@ -262,7 +301,6 @@ def fused_encoder_attn_block(
     t_out = t - 1 if drop_cls else t
     dt = h.dtype
 
-    wqkv = attn["in_proj"]["w"].astype(dt)
     bqkv = attn["in_proj"]["b"].astype(jnp.float32).reshape(1, 3 * w)
     wo = attn["out_proj"]["w"].astype(dt)
     bo = attn["out_proj"]["b"].astype(jnp.float32).reshape(1, w)
@@ -275,13 +313,24 @@ def fused_encoder_attn_block(
                                          memory_space=pltpu.VMEM)
 
     stacked = export_into is not None
-    in_specs = [
-        blocked((frames, t, w)),
-        const((w, 3 * w)), const((1, 3 * w)),
-        const((w, w)), const((1, w)),
-        const((1, w)), const((1, w)),
-    ]
-    inputs = [h, wqkv, bqkv, wo, bo, lns, lnb]
+    if int8_gemm:
+        wqkv, wqs = quantize_weight(attn["in_proj"]["w"])
+        in_specs = [
+            blocked((frames, t, w)),
+            const((w, 3 * w)), const((1, 3 * w)), const((1, 3 * w)),
+            const((w, w)), const((1, w)),
+            const((1, w)), const((1, w)),
+        ]
+        inputs = [h, wqkv, wqs, bqkv, wo, bo, lns, lnb]
+    else:
+        wqkv = attn["in_proj"]["w"].astype(dt)
+        in_specs = [
+            blocked((frames, t, w)),
+            const((w, 3 * w)), const((1, 3 * w)),
+            const((w, w)), const((1, w)),
+            const((1, w)), const((1, w)),
+        ]
+        inputs = [h, wqkv, bqkv, wo, bo, lns, lnb]
     aliases = {}
 
     out_shapes, out_specs = [], []
@@ -325,7 +374,8 @@ def fused_encoder_attn_block(
     outs = pl.pallas_call(
         _make_attn_block_kernel(heads, head_dim, frames, export, drop_cls,
                                 last_only, stacked=stacked,
-                                skip_inputs=len(aliases)),
+                                skip_inputs=len(aliases),
+                                int8_gemm=int8_gemm),
         out_shape=tuple(out_shapes),
         grid=(n // frames,),
         in_specs=in_specs,
@@ -347,11 +397,16 @@ def fused_encoder_attn_block(
     return outs[0]
 
 
-def _make_mlp_block_kernel(frames: int):
+def _make_mlp_block_kernel(frames: int, int8_gemm: bool = False):
     """LN2 + c_fc + QuickGELU + c_proj + residual, one fused call."""
 
-    def kernel(h_ref, wfc_ref, bfc_ref, wproj_ref, bproj_ref, lns_ref,
-               lnb_ref, ho_ref):
+    def kernel(h_ref, *rest):
+        if int8_gemm:
+            (wfc_ref, wfcs_ref, bfc_ref, wproj_ref, wprojs_ref, bproj_ref,
+             lns_ref, lnb_ref, ho_ref) = rest
+        else:
+            (wfc_ref, bfc_ref, wproj_ref, bproj_ref, lns_ref, lnb_ref,
+             ho_ref) = rest
         for f in range(frames):
             hf = h_ref[f]  # (T, W) bf16
             x32 = hf.astype(jnp.float32)
@@ -359,28 +414,40 @@ def _make_mlp_block_kernel(frames: int):
             var = jnp.var(x32, axis=-1, keepdims=True)
             y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
             y = y * lns_ref[...] + lnb_ref[...]
-            mid = jax.lax.dot_general(
-                y.astype(h_ref.dtype), wfc_ref[...],
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            ) + bfc_ref[...]
+            if int8_gemm:
+                yq, y_s = _quant_rows(y)
+                mid = _w8a8_dot(yq, y_s, wfc_ref, wfcs_ref) + bfc_ref[...]
+            else:
+                mid = jax.lax.dot_general(
+                    y.astype(h_ref.dtype), wfc_ref[...],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + bfc_ref[...]
             mid = mid * jax.nn.sigmoid(1.702 * mid)  # QuickGELU, f32
-            out = jax.lax.dot_general(
-                mid.astype(h_ref.dtype), wproj_ref[...],
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            ) + bproj_ref[...]
+            if int8_gemm:
+                mq, m_s = _quant_rows(mid)
+                out = _w8a8_dot(mq, m_s, wproj_ref, wprojs_ref) + bproj_ref[...]
+            else:
+                out = jax.lax.dot_general(
+                    mid.astype(h_ref.dtype), wproj_ref[...],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + bproj_ref[...]
             ho_ref[f] = hf + out.astype(h_ref.dtype)
 
     return kernel
 
 
-def fused_encoder_mlp_block(h: jax.Array, ln: dict, mlp: dict) -> jax.Array:
+def fused_encoder_mlp_block(h: jax.Array, ln: dict, mlp: dict,
+                            int8_gemm: bool = False) -> jax.Array:
     """One fused call for the encoder block's MLP half.
 
     h: (N, T, W) bf16; ln: ln_2 params; mlp: {"c_fc","c_proj"} fp32 params.
     Removes the separate LN pass over the stream and keeps the (T, 4W)
     intermediate in VMEM. 2 frames per grid step (the (2T, 4W) f32
     intermediate + both weight matrices bound VMEM; DFD_MLP_FRAMES
-    overrides for experiments).
+    overrides for experiments). ``int8_gemm`` runs both GEMMs as W8A8 with
+    in-VMEM dynamic per-row activation quantization (op_mode.compute_int8).
     """
     import os
 
@@ -391,9 +458,7 @@ def fused_encoder_mlp_block(h: jax.Array, ln: dict, mlp: dict) -> jax.Array:
     while frames > 1 and n % frames:
         frames //= 2
 
-    wfc = mlp["c_fc"]["w"].astype(dt)
     bfc = mlp["c_fc"]["b"].astype(jnp.float32).reshape(1, hidden)
-    wproj = mlp["c_proj"]["w"].astype(dt)
     bproj = mlp["c_proj"]["b"].astype(jnp.float32).reshape(1, w)
     lns = ln["scale"].astype(jnp.float32).reshape(1, w)
     lnb = ln["bias"].astype(jnp.float32).reshape(1, w)
@@ -403,19 +468,35 @@ def fused_encoder_mlp_block(h: jax.Array, ln: dict, mlp: dict) -> jax.Array:
     blocked = pl.BlockSpec((frames, t, w), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
-        _make_mlp_block_kernel(frames),
-        out_shape=jax.ShapeDtypeStruct((n, t, w), dt),
-        grid=(n // frames,),
-        in_specs=[
+    if int8_gemm:
+        wfc, wfcs = quantize_weight(mlp["c_fc"]["w"])
+        wproj, wprojs = quantize_weight(mlp["c_proj"]["w"])
+        in_specs = [
+            blocked,
+            const((w, hidden)), const((1, hidden)), const((1, hidden)),
+            const((hidden, w)), const((1, w)), const((1, w)),
+            const((1, w)), const((1, w)),
+        ]
+        inputs = (h, wfc, wfcs, bfc, wproj, wprojs, bproj, lns, lnb)
+    else:
+        wfc = mlp["c_fc"]["w"].astype(dt)
+        wproj = mlp["c_proj"]["w"].astype(dt)
+        in_specs = [
             blocked,
             const((w, hidden)), const((1, hidden)),
             const((hidden, w)), const((1, w)),
             const((1, w)), const((1, w)),
-        ],
+        ]
+        inputs = (h, wfc, bfc, wproj, bproj, lns, lnb)
+
+    return pl.pallas_call(
+        _make_mlp_block_kernel(frames, int8_gemm=int8_gemm),
+        out_shape=jax.ShapeDtypeStruct((n, t, w), dt),
+        grid=(n // frames,),
+        in_specs=in_specs,
         out_specs=blocked,
         interpret=_interpret(),
-    )(h, wfc, bfc, wproj, bproj, lns, lnb)
+    )(*inputs)
 
 
 def fused_encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:

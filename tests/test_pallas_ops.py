@@ -134,3 +134,46 @@ def test_decoder_dispatcher_env_switch(rng, monkeypatch):
     monkeypatch.setenv("DFD_ATTENTION_BACKEND", "pallas")
     via_pallas = dual_activation_attention(qs, qc, k, v, mask, num_frames=4)
     np.testing.assert_allclose(np.asarray(base), np.asarray(via_pallas), rtol=2e-4, atol=2e-5)
+
+
+def test_fused_kernels_int8_gemm_close_to_bf16(rng):
+    """op_mode.compute_int8 in-kernel W8A8: the fused attn/MLP kernels with
+    int8 GEMMs stay close to their bf16 selves (dynamic per-row activation
+    scales x per-channel weight scales)."""
+    from dfd_clip_tpu.models import layers
+    from dfd_clip_tpu.ops.pallas_attention import (
+        fused_encoder_attn_block,
+        fused_encoder_mlp_block,
+    )
+
+    n, t, h, d = 4, 197, 4, 64
+    w = h * d
+    hin = jnp.asarray(0.5 * rng.standard_normal((n, t, w)), jnp.float32)
+    keys = jax.random.split(jax.random.key(2), 4)
+    ln = layers.init_layer_norm(w)
+    attn = {
+        "in_proj": layers.init_linear(keys[0], w, 3 * w),
+        "out_proj": layers.init_linear(keys[1], w, w),
+    }
+    mlp = {
+        "c_fc": layers.init_linear(keys[2], w, 4 * w),
+        "c_proj": layers.init_linear(keys[3], 4 * w, w),
+    }
+
+    def cos(a, b):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        return a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+
+    ho, k, v = fused_encoder_attn_block(hin, ln, attn, h, d,
+                                        export=True, drop_cls=True)
+    ho8, k8, v8 = fused_encoder_attn_block(hin, ln, attn, h, d,
+                                           export=True, drop_cls=True,
+                                           int8_gemm=True)
+    assert cos(ho, ho8) > 0.999
+    assert cos(k, k8) > 0.995
+    assert cos(v, v8) > 0.995
+
+    mo = fused_encoder_mlp_block(hin, ln, mlp)
+    mo8 = fused_encoder_mlp_block(hin, ln, mlp, int8_gemm=True)
+    assert cos(mo, mo8) > 0.999
