@@ -249,11 +249,11 @@ class CompInvEncoder:
         kv_raw = clip_vit.clip_vision_kv(
             params["encoder"], x.reshape((b * t,) + x.shape[2:]),
             self.vit_cfg, self.compute_dtype,
-            keep_layers=tuple(self.layer_indices),
+            keep_layers=tuple(self.layer_indices), drop_cls=True,
         )
         kv_raw = {
             s: jax.lax.stop_gradient(
-                kv_raw[s][:, :, 1:]
+                kv_raw[s]
                 .reshape(len(self.layer_indices), b, t, self.vit_cfg.num_patches,
                          self.vit_cfg.heads, self.vit_cfg.head_dim)
             )
