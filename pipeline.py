@@ -124,7 +124,9 @@ def get_result(video_path: str, weight_path: str, cfg_name: str = "setting") -> 
 
     N = 16
     predict = jax.jit(lambda p, x, m: model.predict(p, x, m)[0][0])
-    logits = []
+    # dispatch all sub-batches before materializing any (pipelined device
+    # queue; per-batch syncs would pay link RTT each)
+    pending = []
     for i in range(0, len(clips), N):
         x = clips[i : i + N]
         m = masks[i : i + N]
@@ -132,8 +134,8 @@ def get_result(video_path: str, weight_path: str, cfg_name: str = "setting") -> 
         if n_valid < N and len(clips) > N:
             x = np.concatenate([x, np.repeat(x[-1:], N - n_valid, 0)])
             m = np.concatenate([m, np.repeat(m[-1:], N - n_valid, 0)])
-        logits.append(np.asarray(predict(params, x, m))[:n_valid])
-    logits = np.concatenate(logits)
+        pending.append((predict(params, x, m), n_valid))
+    logits = np.concatenate([np.asarray(o)[:nv] for o, nv in pending])
     e = np.exp(logits - logits.max(-1, keepdims=True))
     p = e / e.sum(-1, keepdims=True)
     return float(p.mean(0)[1])
