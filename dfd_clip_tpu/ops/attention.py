@@ -32,7 +32,16 @@ def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
 def _backend() -> str:
     backend = os.environ.get("DFD_ATTENTION_BACKEND", "auto")
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # Pallas custom calls carry no GSPMD partition rules: under a
+        # multi-chip jit the partitioner would replicate their operands
+        # (all-gathering the batch-sharded activation stream). Until the
+        # shard_map integration lands, auto picks the kernels only where
+        # they are unambiguously right — one device. Multi-chip runs use
+        # the XLA path (which partitions cleanly); force
+        # DFD_ATTENTION_BACKEND=pallas to override (e.g. under your own
+        # shard_map).
+        single = jax.device_count() == 1
+        backend = "pallas" if (jax.default_backend() == "tpu" and single) else "xla"
     return backend
 
 

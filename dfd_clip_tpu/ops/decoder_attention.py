@@ -60,7 +60,9 @@ def dual_activation_attention(
     # factorized attn_mode / multi-query variants.
     backend = os.environ.get("DFD_ATTENTION_BACKEND", "auto")
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # single-device only, same GSPMD reasoning as ops.attention._backend
+        single = jax.default_backend() == "tpu" and jax.device_count() == 1
+        backend = "pallas" if single else "xla"
     if backend == "pallas" and not attn_mode and q_smax.shape[1] == 1:
         from .pallas_decoder_attention import fused_decoder_attention
 
