@@ -221,9 +221,11 @@ def main():
         # host is bounded by it and it varies run to run — record it so the
         # e2e number can be normalized (production hosts use PCIe/DMA).
         payload = buffers[0][0]  # (B, T, RES, RES) uint8 = 16 MB
-        jax.device_put(payload)
+        np.asarray(jax.device_put(payload)[0, 0, 0, 0])  # sync (axon
+        # device_put returns before the bytes land; block_until_ready is a
+        # no-op — fetch one element to force completion)
         t0 = time.perf_counter()
-        jax.device_put(payload)
+        np.asarray(jax.device_put(payload)[0, 0, 0, 0])
         tunnel_mbps = payload.nbytes / (time.perf_counter() - t0) / 1e6
 
     clips_per_sec = BATCH_CLIPS * BENCH_STEPS / elapsed
@@ -235,13 +237,24 @@ def main():
     # bounds e2e; production hosts have PCIe/DMA (see PERF.md)
     xd = jax.device_put(np.zeros((BATCH_CLIPS, NUM_FRAMES, 3, RES, RES), np.uint8))
     md = jax.device_put(mask)
-    dev_predict = jax.jit(lambda p, x, m: model.predict(p, x, m)[0][0])
-    np.asarray(dev_predict(params, xd, md))
-    t0 = time.perf_counter()
-    outs = [dev_predict(params, xd, md) for _ in range(10)]
-    for o in outs:
-        np.asarray(o)
-    dev_per_chip = BATCH_CLIPS * 10 / (time.perf_counter() - t0) / n_chips
+
+    def measure_device_only(fn):
+        """clips/s/chip for a resident-input predict fn: median of 3
+        pipelined 10-dispatch windows (single windows are RTT/host-noise
+        sensitive on the tunnel)."""
+        np.asarray(fn(params, xd, md))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [fn(params, xd, md) for _ in range(10)]
+            for o in outs:
+                np.asarray(o)
+            times.append(time.perf_counter() - t0)
+        return BATCH_CLIPS * 10 / sorted(times)[1] / n_chips
+
+    dev_per_chip = measure_device_only(
+        jax.jit(lambda p, x, m: model.predict(p, x, m)[0][0])
+    )
 
     # opt-in W8A8 mode (op_mode.compute_int8): ~1.3x the bf16 default on the
     # int8 MXU with in-kernel dynamic activation quant. Reported separately —
@@ -263,15 +276,9 @@ def main():
             }
         )
         imodel = Detector(icfg, num_frames=NUM_FRAMES)
-        ipredict = jax.jit(lambda p, x, m: imodel.predict(p, x, m)[0][0])
-        np.asarray(ipredict(params, xd, md))
-        t0 = time.perf_counter()
-        outs = [ipredict(params, xd, md) for _ in range(10)]
-        for o in outs:
-            np.asarray(o)
-        int8_per_chip = round(
-            BATCH_CLIPS * 10 / (time.perf_counter() - t0) / n_chips, 2
-        )
+        int8_per_chip = round(measure_device_only(
+            jax.jit(lambda p, x, m: imodel.predict(p, x, m)[0][0])
+        ), 2)
 
     print(
         json.dumps(
