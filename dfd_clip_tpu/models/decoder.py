@@ -200,7 +200,7 @@ def apply_decoder(
         attn_out = dual_activation_attention(
             q_smax, q_coda, k_all, v_all, token_mask,
             num_frames=t, attn_mode=cfg.attn_mode, temporal_pos=pos_tok,
-            layer=i,
+            layer=i, differentiable=train,
         )
         attn_out = layers.linear(blk["attn"]["out_proj"], attn_out.reshape(b, -1, cfg.width))
         x = x + attn_out

@@ -31,6 +31,7 @@ def dual_activation_attention(
     attn_mode: Sequence[str] = (),
     temporal_pos: jax.Array | None = None,
     layer: int | None = None,
+    differentiable: bool = False,
 ) -> jax.Array:
     """Compute ((softmax + CoDA)/2) attention.
 
@@ -63,6 +64,12 @@ def dual_activation_attention(
         # single-device only, same GSPMD reasoning as ops.attention._backend
         single = jax.default_backend() == "tpu" and jax.device_count() == 1
         backend = "pallas" if single else "xla"
+    # The kernel defines no custom VJP: training steps differentiate through
+    # the decoder (its queries are trainable), so the Pallas path is
+    # inference-only. The encoder kernels never need this — their params are
+    # frozen and their exports stop_gradient'ed, so no tangents reach them.
+    if differentiable:
+        backend = "xla"
     if backend == "pallas" and not attn_mode and q_smax.shape[1] == 1:
         from .pallas_decoder_attention import fused_decoder_attention
 

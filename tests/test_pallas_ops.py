@@ -177,3 +177,38 @@ def test_fused_kernels_int8_gemm_close_to_bf16(rng):
     mo = fused_encoder_mlp_block(hin, ln, mlp)
     mo8 = fused_encoder_mlp_block(hin, ln, mlp, int8_gemm=True)
     assert cos(mo, mo8) > 0.999
+
+
+def test_decoder_training_grad_skips_kernel(rng, monkeypatch):
+    """Training differentiates through the decoder; the Pallas kernel has no
+    custom VJP, so with the pallas backend forced the train=True path must
+    still be differentiable (it routes to XLA), while train=False runs the
+    kernel."""
+    from dfd_clip_tpu.models import decoder as decoder_lib
+    from dfd_clip_tpu.models.decoder import DecoderConfig, init_decoder
+
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "pallas")
+    cfg = DecoderConfig(width=128, heads=2, num_frames=3,
+                        layer_indices=(0, 1), out_dims=(2,))
+    params = init_decoder(jax.random.key(0), cfg)
+    kvs = {
+        s: jnp.asarray(rng.standard_normal((2, 2, 3, 8, 2, 64)), jnp.float32)
+        for s in ("k", "v")
+    }
+    m = jnp.ones((2, 3), bool)
+
+    def loss(p):
+        logits, _ = decoder_lib.apply_decoder(p, kvs, m, cfg, train=True)
+        return logits[0].sum()
+
+    g = jax.grad(loss)(params)  # would raise without the train gate
+    leaf_sum = sum(
+        float(np.abs(np.asarray(x)).sum())
+        for x in jax.tree_util.tree_leaves(g)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+    )
+    assert np.isfinite(leaf_sum) and leaf_sum > 0
+
+    # inference path still produces finite logits through the kernel
+    logits, _ = decoder_lib.apply_decoder(params, kvs, m, cfg, train=False)
+    assert np.isfinite(np.asarray(logits[0])).all()
