@@ -276,8 +276,12 @@ def clip_vision_kv(
                     int8_gemm=compute_int8,
                 )
         else:
+            # compute_int8 quantizes the same GEMMs as the fused kernels (qkv
+            # in-projection + both MLP GEMMs) so the two paths share numerics
+            # and the CPU drift test bounds the composition TPU actually runs.
+            lin = layers.linear_w8a8 if compute_int8 else layers.linear
             y = layers.layer_norm(bp["ln_1"], h)
-            qkv = layers.linear(bp["attn"]["in_proj"], y)  # (N, T, 3W) packed
+            qkv = lin(bp["attn"]["in_proj"], y)  # (N, T, 3W) packed
             if i in keep:
                 src = qkv[:, 1:] if drop_cls else qkv
                 tt = t - 1 if drop_cls else t

@@ -245,24 +245,6 @@ def _make_attn_block_kernel(
     return kernel
 
 
-def alloc_kv_accumulators(nsel: int, n: int, t_out: int, w: int, dtype):
-    """Allocate the (Lsel, N, T', W) K/V export accumulators WITHOUT a zeros
-    pass: a no-op kernel whose ANY-space outputs are simply buffer
-    allocations (contents undefined — every slot is written in place by its
-    layer's export call before any consumer reads it)."""
-
-    def kernel(k_ref, v_ref):
-        pass
-
-    shape = jax.ShapeDtypeStruct((nsel, n, t_out, w), dtype)
-    return pl.pallas_call(
-        kernel,
-        out_shape=(shape, shape),
-        out_specs=(pl.BlockSpec(memory_space=pl.ANY),) * 2,
-        interpret=_interpret(),
-    )()
-
-
 def fused_encoder_attn_block(
     h: jax.Array,
     ln: dict,
@@ -353,7 +335,7 @@ def fused_encoder_attn_block(
             )
             assert kacc is not None and vacc is not None, (
                 "stacked export requires pre-allocated accumulators "
-                "(alloc_kv_accumulators)"
+                "(zero-initialized by the caller, see clip_vision_kv)"
             )
             for acc in (kacc, vacc):
                 # the kernel never READS the aliased accumulator input — ANY

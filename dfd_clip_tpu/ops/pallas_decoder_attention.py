@@ -51,26 +51,29 @@ def _pick_tile(l: int) -> int:
     return tile if l > tile else -(-l // 128) * 128
 
 
-_LOGIT_CLAMP = 60.0  # exp(60)=1.1e26; 3920 tokens max -> sum < 4.5e29, far
-                     # below f32 overflow. Same trick as the encoder kernel:
-                     # softmax without max-subtraction is EXACT as long as
-                     # exp never overflows, so clamping replaces the whole
-                     # online-max machinery (the per-step (1,H)@(H,HD)
-                     # rescale matmuls were the kernel's dominant cost).
+_NEG_BIG = -1e30  # finite stand-in for -inf in the running max (avoids
+                  # -inf - -inf = NaN on fully-masked prefixes)
 
 
 def _kernel(qblk_ref, qc_ref, k_ref, v_ref, m_ref, pos_ref, o_ref,
-            acc, run_d, *,
+            acc, run_d, run_m, *,
             heads: int, head_dim: int, scale: float, l_real: int, lt: int,
             with_pos: bool, stacked_in: bool = False):
     """One (sample, L-tile) step.
 
     Blocks: qblk (1, HD, 2H), qc (1, 1, HD), k/v (1, Lt, HD), m (1, Lt, 1),
     pos (Lt, HD), out (1, 1, HD). Scratch: acc (2H, HD) f32 — rows [:H] the
-    un-normalized softmax PV, rows [H:] the CoDA PV — and run_d (1, H) f32
-    softmax denominators. Per step: TWO MXU issues (logits, combined PV) +
-    the |qc-k| L1 matmul; normalization happens once on the final tile. The
-    final tile may read past L; out-of-bounds rows are masked via ``l_real``.
+    un-normalized softmax PV, rows [H:] the CoDA PV — run_d (1, H) f32
+    softmax denominators, and run_m (1, H) f32 running logit maxima. The
+    softmax is an EXACT online accumulation: each tile rescales the running
+    numerator/denominator by exp(m_old - m_new) — a per-head (2H, 1) VPU
+    broadcast multiply over the accumulator, NOT the M=1 rescale matmuls
+    that dominated an earlier design (PERF.md); decoder queries are
+    trainable, so a fixed logit clamp (the previous scheme) could silently
+    diverge from the XLA path on checkpoints with large logits. Per step:
+    TWO MXU issues (logits, combined PV) + the |qc-k| L1 matmul;
+    normalization happens once on the final tile. The final tile may read
+    past L; out-of-bounds rows are masked via ``l_real``.
     """
     t = pl.program_id(1)
     hd = heads * head_dim
@@ -79,6 +82,7 @@ def _kernel(qblk_ref, qc_ref, k_ref, v_ref, m_ref, pos_ref, o_ref,
     def _():
         acc[:] = jnp.zeros_like(acc)
         run_d[:] = jnp.zeros_like(run_d)
+        run_m[:] = jnp.full_like(run_m, _NEG_BIG)
 
     k = k_ref[0, 0] if stacked_in else k_ref[0]   # (Lt, HD) bf16
     v = v_ref[0, 0] if stacked_in else v_ref[0]   # (Lt, HD) bf16
@@ -120,13 +124,21 @@ def _kernel(qblk_ref, qc_ref, k_ref, v_ref, m_ref, pos_ref, o_ref,
     gate = 2.0 * jax.nn.sigmoid(-l1 * scale)
     wc = jnp.where(mcol, jnp.tanh(lc) * gate, 0.0)     # (Lt, H)
 
-    # ---- softmax branch: clamped exp, no running max ----
-    p = jnp.where(mcol, jnp.exp(jnp.minimum(ls, _LOGIT_CLAMP)), 0.0)
-    run_d[:] = run_d[:] + jnp.sum(p, axis=0, keepdims=True)
+    # ---- softmax branch: exact online max + rescale ----
+    tile_max = jnp.max(jnp.where(mcol, ls, _NEG_BIG), axis=0, keepdims=True)
+    new_m = jnp.maximum(run_m[:], tile_max)                    # (1, H)
+    fac = jnp.exp(run_m[:] - new_m)                            # (1, H) ≤ 1
+    run_m[:] = new_m
+    p = jnp.where(mcol, jnp.exp(ls - new_m), 0.0)              # (Lt, H)
+    run_d[:] = run_d[:] * fac + jnp.sum(p, axis=0, keepdims=True)
 
-    # combined PV for BOTH branches: one (2H, Lt)x(Lt, HD) MXU issue
+    # combined PV for BOTH branches: one (2H, Lt)x(Lt, HD) MXU issue; the
+    # softmax half of the accumulator rescales by fac, the CoDA half by 1
     wboth = jnp.concatenate([p, wc], axis=1).astype(v.dtype)   # (Lt, 2H)
-    acc[:] = acc[:] + jax.lax.dot_general(
+    fac_rows = jnp.concatenate(
+        [fac, jnp.ones_like(fac)], axis=1
+    ).reshape(2 * heads, 1)                                    # (2H, 1)
+    acc[:] = acc[:] * fac_rows + jax.lax.dot_general(
         wboth, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )  # (2H, HD)
 
@@ -226,7 +238,8 @@ def fused_decoder_attention(
         out_specs=pl.BlockSpec((1, 1, hd), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2 * h, hd), jnp.float32),
-            pltpu.VMEM((1, h), jnp.float32),
+            pltpu.VMEM((1, h), jnp.float32),   # run_d
+            pltpu.VMEM((1, h), jnp.float32),   # run_m
         ],
         interpret=_interpret(),
     )(qblk, qc_row, kf, vf, mf, pos)

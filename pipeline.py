@@ -124,9 +124,11 @@ def get_result(video_path: str, weight_path: str, cfg_name: str = "setting") -> 
 
     N = 16
     predict = jax.jit(lambda p, x, m: model.predict(p, x, m)[0][0])
-    # dispatch all sub-batches before materializing any (pipelined device
-    # queue; per-batch syncs would pay link RTT each)
-    pending = []
+    # pipelined dispatch with bounded depth (~3 in flight): each pending call
+    # pins its uint8 input batch on device, so unbounded dispatch grows device
+    # memory linearly with video length. Same pattern as inference.py.
+    depth = 3
+    pending, done = [], []
     for i in range(0, len(clips), N):
         x = clips[i : i + N]
         m = masks[i : i + N]
@@ -135,7 +137,11 @@ def get_result(video_path: str, weight_path: str, cfg_name: str = "setting") -> 
             x = np.concatenate([x, np.repeat(x[-1:], N - n_valid, 0)])
             m = np.concatenate([m, np.repeat(m[-1:], N - n_valid, 0)])
         pending.append((predict(params, x, m), n_valid))
-    logits = np.concatenate([np.asarray(o)[:nv] for o, nv in pending])
+        if len(pending) >= depth:
+            o, nv = pending.pop(0)
+            done.append(np.asarray(o)[:nv])
+    done.extend(np.asarray(o)[:nv] for o, nv in pending)
+    logits = np.concatenate(done)
     e = np.exp(logits - logits.max(-1, keepdims=True))
     p = e / e.sum(-1, keepdims=True)
     return float(p.mean(0)[1])

@@ -91,9 +91,13 @@ class Scorer:
         masks = np.ones(clips.shape[:2], bool)
 
         with self._lock:
-            # dispatch every sub-batch before materializing any: the device
-            # pipeline stays full instead of paying link RTT per batch
+            # pipelined dispatch with bounded depth: keep ~3 sub-batches in
+            # flight (each pins its ~48 MB uint8 input on device — unbounded
+            # dispatch grows device memory linearly with video length), drain
+            # the oldest beyond that. Same pattern as inference.py.
+            depth = 3
             pending = []
+            logits = []
             N = self.batch_size
             for i in range(0, len(clips), N):
                 x, m = clips[i : i + N], masks[i : i + N]
@@ -102,7 +106,10 @@ class Scorer:
                     x = np.concatenate([x, np.repeat(x[-1:], N - valid, 0)])
                     m = np.concatenate([m, np.repeat(m[-1:], N - valid, 0)])
                 pending.append((self._predict(self.params, x, m), valid))
-            logits = [np.asarray(o)[:valid] for o, valid in pending]
+                if len(pending) >= depth:
+                    o, nv = pending.pop(0)
+                    logits.append(np.asarray(o)[:nv])
+            logits.extend(np.asarray(o)[:nv] for o, nv in pending)
         logits = np.concatenate(logits)
         e = np.exp(logits - logits.max(-1, keepdims=True))
         p = e / e.sum(-1, keepdims=True)

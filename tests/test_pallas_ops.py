@@ -123,6 +123,62 @@ def test_fused_decoder_attention_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
 
 
+def test_fused_decoder_attention_large_logits(rng):
+    """Decoder queries are TRAINED, so attention logits are not structurally
+    bounded: the kernel's softmax must stay exact (online max) where a fixed
+    exp clamp would silently diverge from the XLA/training path (ADVICE r2).
+    Scaled queries push logits to ~±180 here."""
+    b, h, d, t, p = 2, 4, 64, 5, 8
+    l = t * p
+    qs = jnp.asarray(30.0 * rng.standard_normal((b, 1, h, d)), jnp.float32)
+    qc = jnp.asarray(30.0 * rng.standard_normal((b, 1, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+    pos = jnp.asarray(0.1 * rng.standard_normal((l, h, d)), jnp.float32)
+    mask = np.ones((b, l), bool)
+    mask[1, 3 * p :] = False
+
+    got = fused_decoder_attention(qs, qc, k, v, jnp.asarray(mask),
+                                  temporal_pos=pos)
+    want = dual_activation_attention(qs, qc, k, v, jnp.asarray(mask),
+                                     num_frames=t, temporal_pos=pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("drop_cls", [False, True])
+@pytest.mark.parametrize("stacked", ["1", "0"])
+def test_clip_vision_kv_pallas_matches_xla(rng, monkeypatch, drop_cls, stacked):
+    """The production single-device TPU path (fused blocks + stacked in-place
+    K/V export) vs the XLA composition, in interpreter mode on CPU — covers
+    drop_cls x DFD_STACKED_EXPORT (ADVICE r2: this path previously had no CI
+    coverage)."""
+    from dfd_clip_tpu.models.clip_vit import ARCHITECTURES, clip_vision_kv, init_clip_vision
+
+    cfg = ARCHITECTURES["ViT-Test"]
+    params = init_clip_vision(jax.random.key(3), cfg)
+    x = jnp.asarray(
+        rng.standard_normal((2, 3, cfg.input_resolution, cfg.input_resolution)),
+        jnp.float32,
+    )
+    keep = (0, 2)
+
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "xla")
+    want = clip_vision_kv(params, x, cfg, compute_dtype=jnp.float32,
+                          keep_layers=keep, drop_cls=drop_cls)
+
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "pallas")
+    monkeypatch.setenv("DFD_STACKED_EXPORT", stacked)
+    got = clip_vision_kv(params, x, cfg, compute_dtype=jnp.float32,
+                         keep_layers=keep, drop_cls=drop_cls)
+
+    for name in ("k", "v"):
+        assert got[name].shape == want[name].shape
+        np.testing.assert_allclose(
+            np.asarray(got[name]), np.asarray(want[name]), rtol=5e-4, atol=5e-4
+        )
+
+
 def test_decoder_dispatcher_env_switch(rng, monkeypatch):
     b, h, d, l = 2, 2, 32, 16
     qs = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
