@@ -260,16 +260,20 @@ class Detector:
             x, self.transform.size, self.transform.mean, self.transform.std
         )
 
-    def encode_kv(self, params: Params, x: jax.Array) -> Dict[str, jax.Array]:
-        """Frozen-encoder K/V: (B,T,3,H,W) -> {"k","v"}: (Lsel,B,T,P,H,D)."""
-        b, t = x.shape[:2]
-        frames = x.reshape((b * t,) + x.shape[2:])
+    def _kv_int8(self) -> bool:
+        return (
+            self.foundation in ("clip", "farl")
+            and self.op_mode.get("kv_dtype", "auto") == "int8"
+        )
+
+    def _tower_kv(self, enc_params: Params, frames: jax.Array) -> Dict[str, jax.Array]:
+        """Frozen tower on a flat frame batch: (N,3,H,W) -> (Lsel,N,P,H,D)."""
         if self.foundation in ("clip", "farl"):
             # only the kept layers' K/V are materialized (scatter-in-scan);
             # op_mode.kv_dtype=int8 stores them quantized for capacity
-            kv_int8 = self.op_mode.get("kv_dtype", "auto") == "int8"
+            kv_int8 = self._kv_int8()
             kvs = clip_vit.clip_vision_kv(
-                params["encoder"], frames, self.vit_cfg, self.compute_dtype,
+                enc_params, frames, self.vit_cfg, self.compute_dtype,
                 keep_layers=tuple(self.layer_indices), kv_int8=kv_int8,
                 drop_cls=True,
                 compute_int8=bool(self.op_mode.get("compute_int8", 0)),
@@ -285,9 +289,27 @@ class Detector:
             from . import dinov2_vit
 
             kvs = dinov2_vit.dinov2_kv(
-                params["encoder"], frames, self.vit_cfg, self.compute_dtype,
+                enc_params, frames, self.vit_cfg, self.compute_dtype,
                 keep_layers=tuple(self.layer_indices), drop_cls=True,
             )
+        return {s: kvs[s] for s in ("k", "v")}
+
+    def encode_kv(self, params: Params, x: jax.Array) -> Dict[str, jax.Array]:
+        """Frozen-encoder K/V: (B,T,3,H,W) -> {"k","v"}: (Lsel,B,T,P,H,D)."""
+        from ..ops import spmd
+
+        b, t = x.shape[:2]
+        # Multi-device: run the tower inside shard_map over the (data, seq)
+        # mesh so the fused Pallas kernels stay active per shard (the frozen
+        # encoder is embarrassingly parallel over batch x frames). kv_int8 is
+        # excluded — its per-(layer, head) absmax scales must see the global
+        # batch.
+        mesh = None if self._kv_int8() else spmd.spmd_pallas_mesh()
+        if mesh is not None and spmd.encoder_shapes_ok(b, t, mesh):
+            kvs = spmd.spmd_encoder_kv(self._tower_kv, params["encoder"], x, mesh)
+            return {s: jax.lax.stop_gradient(kvs[s]) for s in ("k", "v")}
+        frames = x.reshape((b * t,) + x.shape[2:])
+        kvs = self._tower_kv(params["encoder"], frames)
         out = {}
         for s in ("k", "v"):
             # CLS is dropped at the export site (drop_cls=True above), so the

@@ -12,10 +12,33 @@ can be slotted in behind the same signature (see ops/pallas_attention.py).
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import os
 
 import jax
 import jax.numpy as jnp
+
+# Marks traces that run INSIDE a shard_map body: there the program is
+# per-device by construction, so Pallas custom calls (which carry no GSPMD
+# partition rules) are safe regardless of the global device count. Set by
+# ops/spmd.py's wrappers; a contextvar so it scopes correctly across nested
+# traces and threads.
+_LOCAL_PROGRAM = contextvars.ContextVar("dfd_local_program", default=False)
+
+
+@contextlib.contextmanager
+def local_program():
+    """Mark the enclosed trace as a per-device (shard_map-local) program."""
+    token = _LOCAL_PROGRAM.set(True)
+    try:
+        yield
+    finally:
+        _LOCAL_PROGRAM.reset(token)
+
+
+def in_local_program() -> bool:
+    return _LOCAL_PROGRAM.get()
 
 
 def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
@@ -34,14 +57,16 @@ def _backend() -> str:
     if backend == "auto":
         # Pallas custom calls carry no GSPMD partition rules: under a
         # multi-chip jit the partitioner would replicate their operands
-        # (all-gathering the batch-sharded activation stream). Until the
-        # shard_map integration lands, auto picks the kernels only where
-        # they are unambiguously right — one device. Multi-chip runs use
-        # the XLA path (which partitions cleanly); force
-        # DFD_ATTENTION_BACKEND=pallas to override (e.g. under your own
-        # shard_map).
-        single = jax.device_count() == 1
+        # (all-gathering the batch-sharded activation stream). So auto picks
+        # the kernels where the program is per-device by construction: a
+        # single device, or inside a shard_map body (ops/spmd.py wraps the
+        # encoder tower and the decoder attention in shard_map over the
+        # runtime mesh, so multi-chip keeps the fused kernels). Force
+        # DFD_ATTENTION_BACKEND=pallas to override under your own shard_map.
+        single = jax.device_count() == 1 or in_local_program()
         backend = "pallas" if (jax.default_backend() == "tpu" and single) else "xla"
+        if in_local_program() and os.environ.get("DFD_SPMD_PALLAS") == "1":
+            backend = "pallas"  # CPU interp-mode testing of the spmd path
     return backend
 
 

@@ -55,15 +55,41 @@ def dual_activation_attention(
     """
     import os
 
+    from . import attention as attention_ops
+
+    # Multi-device: run the kernel per shard inside shard_map with an exact
+    # cross-shard softmax combine (ops/spmd.py). Selected before the backend
+    # resolution below because on a multi-device jit "auto" must otherwise
+    # fall back to XLA (Pallas carries no GSPMD rules).
+    if (
+        not differentiable
+        and not attn_mode
+        and q_smax.shape[1] == 1
+        and os.environ.get("DFD_ATTENTION_BACKEND", "auto") != "xla"
+    ):
+        from . import spmd
+
+        mesh = spmd.spmd_pallas_mesh()
+        if mesh is not None:
+            b = q_smax.shape[0]
+            l = k.shape[2] if layer is not None else k.shape[1]
+            if spmd.decoder_shapes_ok(b, l, mesh):
+                return spmd.spmd_decoder_attention(
+                    q_smax, q_coda, k, v, mask, temporal_pos, layer, mesh
+                )
+
     # auto: the Pallas kernel on TPU (stacked-input form measured 10.7 vs
     # 11.3 ms XLA for the 6-block flagship decoder — and it sidesteps the
     # (B, 1, L, H) f32 intermediate zoo), XLA elsewhere and for the
     # factorized attn_mode / multi-query variants.
     backend = os.environ.get("DFD_ATTENTION_BACKEND", "auto")
     if backend == "auto":
-        # single-device only, same GSPMD reasoning as ops.attention._backend
-        single = jax.default_backend() == "tpu" and jax.device_count() == 1
-        backend = "pallas" if single else "xla"
+        # per-device programs only, same GSPMD reasoning as
+        # ops.attention._backend (single device or inside a shard_map body)
+        single = jax.device_count() == 1 or attention_ops.in_local_program()
+        backend = "pallas" if (jax.default_backend() == "tpu" and single) else "xla"
+        if attention_ops.in_local_program() and os.environ.get("DFD_SPMD_PALLAS") == "1":
+            backend = "pallas"  # CPU interp-mode testing of the spmd path
     # The kernel defines no custom VJP: training steps differentiate through
     # the decoder (its queries are trainable), so the Pallas path is
     # inference-only. The encoder kernels never need this — their params are

@@ -55,10 +55,9 @@ _NEG_BIG = -1e30  # finite stand-in for -inf in the running max (avoids
                   # -inf - -inf = NaN on fully-masked prefixes)
 
 
-def _kernel(qblk_ref, qc_ref, k_ref, v_ref, m_ref, pos_ref, o_ref,
-            acc, run_d, run_m, *,
+def _kernel(qblk_ref, qc_ref, k_ref, v_ref, m_ref, pos_ref, *out_and_scratch,
             heads: int, head_dim: int, scale: float, l_real: int, lt: int,
-            with_pos: bool, stacked_in: bool = False):
+            with_pos: bool, stacked_in: bool = False, partials: bool = False):
     """One (sample, L-tile) step.
 
     Blocks: qblk (1, HD, 2H), qc (1, 1, HD), k/v (1, Lt, HD), m (1, Lt, 1),
@@ -74,9 +73,20 @@ def _kernel(qblk_ref, qc_ref, k_ref, v_ref, m_ref, pos_ref, o_ref,
     TWO MXU issues (logits, combined PV) + the |qc-k| L1 matmul;
     normalization happens once on the final tile. The final tile may read
     past L; out-of-bounds rows are masked via ``l_real``.
+
+    ``partials`` (the sequence-parallel form, ops/spmd.py): instead of the
+    normalized combined output, the final tile emits the per-shard softmax
+    partial state — un-normalized E-compacted numerator, CoDA output,
+    denominator, running max — so the caller can combine shards exactly with
+    psum/pmax (one-query distributed softmax, SURVEY.md §5.7).
     """
     t = pl.program_id(1)
     hd = heads * head_dim
+    if partials:
+        o_ref, st_ref, acc, run_d, run_m = out_and_scratch
+    else:
+        o_ref, acc, run_d, run_m = out_and_scratch
+        st_ref = None
 
     @pl.when(t == 0)
     def _():
@@ -144,13 +154,20 @@ def _kernel(qblk_ref, qc_ref, k_ref, v_ref, m_ref, pos_ref, o_ref,
 
     @pl.when(t == pl.num_programs(1) - 1)
     def _():
-        denom = jnp.maximum(run_d[:], 1e-30)           # fully-masked -> 0 out
-        # per-head normalize the softmax rows, then E-mask both halves down
-        # to their own head's lane block and sum over heads
-        o_s = jnp.sum(acc[:heads] * (1.0 / denom).reshape(heads, 1) * E,
-                      axis=0, keepdims=True)           # (1, HD)
-        o_c = jnp.sum(acc[heads:] * E, axis=0, keepdims=True)
-        o_ref[0] = (0.5 * (o_s + o_c)).astype(o_ref.dtype)
+        if partials:
+            # un-normalized per-shard state for the cross-shard combine
+            o_s_un = jnp.sum(acc[:heads] * E, axis=0, keepdims=True)  # (1, HD)
+            o_c = jnp.sum(acc[heads:] * E, axis=0, keepdims=True)
+            o_ref[0] = jnp.concatenate([o_s_un, o_c], axis=0)         # (2, HD)
+            st_ref[0] = jnp.concatenate([run_d[:], run_m[:]], axis=0)  # (2, H)
+        else:
+            denom = jnp.maximum(run_d[:], 1e-30)       # fully-masked -> 0 out
+            # per-head normalize the softmax rows, then E-mask both halves
+            # down to their own head's lane block and sum over heads
+            o_s = jnp.sum(acc[:heads] * (1.0 / denom).reshape(heads, 1) * E,
+                          axis=0, keepdims=True)       # (1, HD)
+            o_c = jnp.sum(acc[heads:] * E, axis=0, keepdims=True)
+            o_ref[0] = (0.5 * (o_s + o_c)).astype(o_ref.dtype)
 
 
 def fused_decoder_attention(
@@ -161,6 +178,7 @@ def fused_decoder_attention(
     mask: jax.Array,
     temporal_pos: jax.Array | None = None,
     layer: int | None = None,
+    partials: bool = False,
 ) -> jax.Array:
     """(B,1,H,D), (B,1,H,D), (B,L,H,D), (B,L,H,D), (B,L) -> (B,1,H,D).
 
@@ -175,7 +193,13 @@ def fused_decoder_attention(
     index map. Custom-call operands cannot alias a producer slice, so
     passing ``k_all[i]`` materializes a fresh (B, L, H, D) copy per block
     (measured ~1.1 ms/block at flagship shapes); indexing inside the block
-    spec reads the encoder's accumulator directly — zero copies."""
+    spec reads the encoder's accumulator directly — zero copies.
+
+    ``partials``: return the per-shard combine state instead of the final
+    output — ``(o_sc, st)`` with o_sc (B, 2, H·D) f32 [row 0: un-normalized
+    softmax numerator, row 1: CoDA output] and st (B, 2, H) f32 [row 0:
+    softmax denominator, row 1: running max]. Used by ops/spmd.py to run the
+    kernel on sequence-sharded K/V and combine shards exactly with psum."""
     b, q, h, d = q_smax.shape
     assert q == 1, "fused decoder attention is specialized for a single query"
     stacked_in = layer is not None
@@ -212,7 +236,7 @@ def fused_decoder_attention(
 
     kernel = functools.partial(
         _kernel, heads=h, head_dim=d, scale=scale, l_real=l, lt=lt,
-        with_pos=with_pos, stacked_in=stacked_in,
+        with_pos=with_pos, stacked_in=stacked_in, partials=partials,
     )
     if stacked_in:
         kv_spec = pl.BlockSpec(
@@ -223,9 +247,22 @@ def fused_decoder_attention(
     else:
         kv_spec = pl.BlockSpec((1, lt, hd), lambda i, t: (i, t, 0),
                                memory_space=pltpu.VMEM)
+    if partials:
+        out_shape = (
+            jax.ShapeDtypeStruct((b, 2, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b, 2, h), jnp.float32),
+        )
+        out_specs = (
+            pl.BlockSpec((1, 2, hd), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, h), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+        )
+    else:
+        out_shape = jax.ShapeDtypeStruct((b, 1, hd), v.dtype)
+        out_specs = pl.BlockSpec((1, 1, hd), lambda i, t: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, 1, hd), v.dtype),
+        out_shape=out_shape,
         grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec((1, hd, 2 * h), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -235,7 +272,7 @@ def fused_decoder_attention(
             pl.BlockSpec((1, lt, 1), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((lt, hd), pos_index, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, hd), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2 * h, hd), jnp.float32),
             pltpu.VMEM((1, h), jnp.float32),   # run_d
@@ -243,4 +280,6 @@ def fused_decoder_attention(
         ],
         interpret=_interpret(),
     )(qblk, qc_row, kf, vf, mf, pos)
+    if partials:
+        return out
     return out.reshape(b, 1, h, d)

@@ -25,6 +25,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 logger = logging.getLogger(__name__)
 
 
+# The mesh the running process computes over, registered by MeshRuntime so
+# model-level code (ops/spmd.py) can shard_map Pallas kernels over it without
+# threading the runtime through every call signature.
+_CURRENT_MESH: Optional[Mesh] = None
+
+
+def set_current_mesh(mesh: Optional[Mesh]) -> None:
+    global _CURRENT_MESH
+    _CURRENT_MESH = mesh
+
+
+def current_mesh() -> Optional[Mesh]:
+    return _CURRENT_MESH
+
+
 def best_mesh_shape(n_devices: int, seq_parallel: int = 1) -> tuple[int, int]:
     """Factor ``n_devices`` into (data, seq) mesh dims."""
     if n_devices % seq_parallel != 0:
@@ -66,6 +81,7 @@ class MeshRuntime:
         logger.info(
             "MeshRuntime: %d devices, mesh (data=%d, seq=%d)", len(self.devices), dp, sp
         )
+        set_current_mesh(self.mesh)
 
     # -- process topology ----------------------------------------------------
     @property

@@ -188,6 +188,12 @@ def main(args):
     landmarker = build_landmarker(args.backend)
     videos = sorted(glob(path.join(args.data_dir, "**", f"*{args.vid_ext}"),
                          recursive=True))
+    if args.split_num > 1:
+        # contiguous-block manual sharding, the alt extractor's convention
+        # (reference preprocessing/landmarks.py:110-141 -s/-p): ceil-sized
+        # block part_num of split_num
+        size = -(-len(videos) // args.split_num)
+        videos = videos[args.part_num * size : (args.part_num + 1) * size]
     videos = videos[args.shard_index :: args.num_shards]
     for i, vp in enumerate(videos):
         rel = path.relpath(vp, args.data_dir)
@@ -208,8 +214,15 @@ def get_argparser():
     parser.add_argument("--vid_ext", default=".mp4")
     parser.add_argument("--backend", default="auto",
                         choices=["auto", "facexlib", "fan", "haar", "template"])
-    parser.add_argument("--num_shards", default=1, type=int)
+    parser.add_argument("--num_shards", default=1, type=int,
+                        help="strided sharding: worker takes every Nth video")
     parser.add_argument("--shard_index", default=0, type=int)
+    # the reference alt extractor's contiguous split/part convention
+    # (preprocessing/landmarks.py -s/-p), for manual multi-worker launches
+    parser.add_argument("-s", "--split_num", default=1, type=int,
+                        help="contiguous sharding: split the list into S blocks")
+    parser.add_argument("-p", "--part_num", default=0, type=int,
+                        help="which contiguous block this worker processes")
     return parser
 
 

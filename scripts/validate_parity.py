@@ -148,6 +148,66 @@ def main(argv=None) -> int:
               f"max_abs={worst['max_abs']:.3e} mean_abs={worst['mean_abs']:.3e} "
               f"cosine={worst['cosine']:.6f}")
 
+    # int8 production-inference path (op_mode.compute_int8): per-layer K/V
+    # cosine vs the torch reference, plus end-to-end logit agreement between
+    # the bf16 and int8 Detector.predict on the same weights — the accuracy
+    # evidence gating int8 as the bench/production default (round-2 verdict
+    # #4; synthetic-tower drift bounds live in tests/test_models.py and
+    # tests/test_int8_e2e.py).
+    report["int8"] = {"layers": [], "kv_cosine_min": None, "logit_cosine": None}
+    ours8 = jax.jit(
+        lambda p, x: clip_vit.clip_vision_kv(p, x, cfg, compute_dtype=jnp.bfloat16,
+                                             compute_int8=True)
+    )(params, jnp.asarray(x))
+    for i in range(cfg.layers):
+        for s in ("k", "v"):
+            a = np.asarray(ours8[s][i], np.float32).ravel()
+            b = ref_kvs[i][s].numpy().astype(np.float32).ravel()
+            cos = float(np.dot(a, b) /
+                        (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+            report["int8"]["layers"].append({"layer": i, "stream": s, "cosine": cos})
+    kv_min = min(r["cosine"] for r in report["int8"]["layers"])
+    report["int8"]["kv_cosine_min"] = kv_min
+
+    from dfd_clip_tpu.models import clip_vit as clip_vit_mod
+    from dfd_clip_tpu.models.detector import Detector
+
+    # Register the checkpoint's geometry as a named architecture so the
+    # Detector derives EVERYTHING (decoder head dims, temporal-pos shapes,
+    # transform size) from it — patching det.vit_cfg post-construction leaves
+    # the decoder initialized at the default ViT-B/16 geometry.
+    clip_vit_mod.ARCHITECTURES["__validate__"] = cfg
+
+    def _detector(compute_int8: int):
+        dcfg = Detector.get_default_config()
+        keep = list(range(cfg.layers // 2, cfg.layers))
+        dcfg.merge_from_other_cfg({
+            "architecture": "__validate__",
+            "decode_mode": "index", "decode_indices": keep,
+            "out_dim": [2], "losses": ["auc_roc"],
+            "op_mode": {"temporal_position": 1, "compute_int8": compute_int8},
+        })
+        return Detector(dcfg, num_frames=args.frames)
+
+    det16, det8 = _detector(0), _detector(1)
+    dp = det16.init_params(jax.random.key(0), encoder_params=params)
+    xb = jnp.asarray(x)[None]  # (1, T, 3, R, R) clip batch
+    mb = np.ones((1, args.frames), bool)
+    l16 = np.asarray(jax.jit(lambda p, x, m: det16.predict(p, x, m)[0][0])(dp, xb, mb),
+                     np.float32).ravel()
+    l8 = np.asarray(jax.jit(lambda p, x, m: det8.predict(p, x, m)[0][0])(dp, xb, mb),
+                    np.float32).ravel()
+    lcos = float(np.dot(l16, l8) /
+                 (np.linalg.norm(l16) * np.linalg.norm(l8) + 1e-12))
+    report["int8"]["logit_cosine"] = lcos
+    report["int8"]["logit_max_abs"] = float(np.abs(l16 - l8).max())
+    print(f"[int8] K/V cosine min={kv_min:.6f}  predict logit cosine={lcos:.6f} "
+          f"max_abs={report['int8']['logit_max_abs']:.3e}")
+    if kv_min < 0.995 or lcos < 0.999:
+        report["ok"] = False
+        print("int8 gate FAILED (kv cosine < 0.995 or logit cosine < 0.999)",
+              file=sys.stderr)
+
     if args.json:
         with open(args.json, "w") as f:
             json.dump(report, f, indent=2)

@@ -1,0 +1,75 @@
+"""End-to-end int8 accuracy gate (round-2 verdict #4, codec-ablation pattern).
+
+op_mode.compute_int8 runs the frozen encoder's qkv + MLP GEMMs as W8A8 — the
+production-inference throughput path (bench.py). The drift test in
+tests/test_models.py bounds per-op cosine on synthetic towers; this gate
+checks the claim that actually matters: a model TRAINED bf16 and SCORED
+int8 must preserve the detection signal (AUROC) end to end, because the
+quantization perturbs the very K/V stream the decoder attends.
+"""
+
+import os
+from os import path
+
+import numpy as np
+import pytest
+
+from dfd_clip_tpu.config import CN
+from dfd_clip_tpu.data.datasets import FFPP
+from dfd_clip_tpu.engine import Evaluator, Trainer
+from dfd_clip_tpu.engine.callbacks import (
+    compute_metrics,
+    init_metrics,
+    update_metrics,
+)
+from dfd_clip_tpu.runtime import MeshRuntime
+
+from fixtures import ffpp_config, tiny_detector
+from test_learning import make_separable_ffpp_tree
+
+
+def _auroc(root, runtime, trainer) -> float:
+    ds = FFPP(ffpp_config(root, random_speed=0, augmentation="none"),
+              num_frames=4, clip_duration=2, runtime=runtime, split="test",
+              index=0)
+    cfg = Evaluator.get_default_config()
+    cfg.batch_size = 4
+    cfg.num_workers = 0
+    cfg.metrics = [CN({"name": "deepfake/ffpp", "types": ["roc_auc"]})]
+    ev = Evaluator(cfg, runtime, [ds])
+    ev.add_callback("on_evaluation_start", init_metrics)
+    ev.add_callback("on_batch_end", update_metrics)
+    ev.add_callback("on_evaluation_end", compute_metrics, training_eval_interval=1)
+    ev.run(trainer)
+    return float(ev.computed_metrics["metric/deepfake/ffpp/roc_auc"])
+
+
+def test_bf16_trained_int8_scored_auroc_holds(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("DFD_VIDEO_BACKEND", "opencv")
+    root = make_separable_ffpp_tree(str(tmp_path / "ffpp"))
+
+    runtime = MeshRuntime()
+    det = tiny_detector()
+    train_ds = FFPP(ffpp_config(root, random_speed=0), num_frames=4,
+                    clip_duration=2, runtime=runtime, split="train", index=0)
+    cfg = Trainer.get_default_config()
+    cfg.max_steps = 30
+    cfg.batch_size = 16 // runtime.data_parallel or 1
+    cfg.num_workers = 0
+    cfg.learning_rate = 3e-3
+    cfg.metrics = [CN({"name": "deepfake/ffpp", "types": ["roc_auc"]})]
+    trainer = Trainer(cfg, runtime, det, [train_ds])
+    trainer.run()
+
+    auc_bf16 = _auroc(root, runtime, trainer)
+
+    # Same trained params, int8 compute path at scoring time.
+    det_int8 = tiny_detector(op_mode={"temporal_position": 1, "compute_int8": 1})
+    assert bool(det_int8.op_mode.compute_int8)
+    trainer.model = det_int8
+    auc_int8 = _auroc(root, runtime, trainer)
+
+    assert auc_bf16 > 0.9, f"bf16 AUROC {auc_bf16} (fixture not learnable?)"
+    assert auc_int8 > 0.9, f"int8 scoring broke the signal: AUROC {auc_int8}"
+    assert abs(auc_bf16 - auc_int8) < 0.05, (auc_bf16, auc_int8)
