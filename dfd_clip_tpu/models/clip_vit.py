@@ -223,6 +223,17 @@ def clip_vision_kv(
 
     stacked_export = (fused and not kv_int8
                       and _os.environ.get("DFD_STACKED_EXPORT", "1") != "0")
+    # Whole-block fusion (attention + MLP in ONE kernel, ops/pallas_attention.
+    # fused_encoder_block): removes the intermediate residual stream's HBM
+    # round-trip per layer. All four GEMM weight sets must be VMEM-resident at
+    # once — 7.7 MB with int8 weights (fits comfortably), 14.1 MB bf16 —
+    # so "auto" picks it for the int8 path and keeps the split attn/MLP
+    # kernel pair for bf16 (DFD_FUSED_BLOCK=full|split overrides).
+    block_mode = _os.environ.get("DFD_FUSED_BLOCK", "auto")
+    if block_mode == "auto":
+        block_mode = "full" if compute_int8 else "split"
+    full_block = (fused and block_mode == "full"
+                  and _os.environ.get("DFD_FUSED_MLP", "1") != "0")
     slot_of = {layer: s for s, layer in enumerate(keep)}
     nsel = len(keep)
     kacc = vacc = None
@@ -244,7 +255,10 @@ def clip_vision_kv(
             # (+ the K/V export, CLS-dropped, straight out of VMEM); the
             # packed qkv stream never touches HBM. The last kept layer only
             # needs LN1 + qkv, so it runs the export-only kernel variant.
-            from ..ops.pallas_attention import fused_encoder_attn_block
+            from ..ops.pallas_attention import (
+                fused_encoder_attn_block,
+                fused_encoder_block,
+            )
 
             into = (
                 (kacc, vacc, slot_of[i], nsel)
@@ -260,6 +274,21 @@ def clip_vision_kv(
                     kacc, vacc = out
                 else:
                     k, v = out
+            elif full_block:
+                # whole block (attn + MLP + optional export) in one call
+                out = fused_encoder_block(
+                    h, bp["ln_1"], bp["attn"], bp["ln_2"], bp["mlp"],
+                    cfg.heads, cfg.head_dim,
+                    export=i in keep, drop_cls=drop_cls, export_into=into,
+                    int8_gemm=compute_int8,
+                )
+                if i in keep:
+                    if stacked_export:
+                        h, kacc, vacc = out
+                    else:
+                        h, k, v = out
+                else:
+                    h = out
             elif i in keep:
                 out = fused_encoder_attn_block(
                     h, bp["ln_1"], bp["attn"], cfg.heads, cfg.head_dim,
@@ -298,6 +327,8 @@ def clip_vision_kv(
         if i < last:
             import os
 
+            if fused and full_block:
+                continue  # MLP already applied inside fused_encoder_block
             if fused and os.environ.get("DFD_FUSED_MLP", "1") != "0":
                 # the MLP half in one Pallas call too: LN2 + c_fc + QuickGELU
                 # + c_proj + residual with the (T, 4W) intermediate in VMEM.

@@ -379,6 +379,240 @@ def fused_encoder_attn_block(
     return outs[0]
 
 
+def _make_full_block_kernel(
+    heads: int, head_dim: int, frames: int, export: bool, drop_cls: bool,
+    stacked: bool = False, skip_inputs: int = 0, int8_gemm: bool = False,
+):
+    """WHOLE encoder block in one kernel: LN1 + qkv + attention + out-proj +
+    residual + LN2 + c_fc + QuickGELU + c_proj + residual (+ K/V export).
+
+    vs the split attn/MLP kernel pair this removes one full HBM round-trip of
+    the residual stream per layer (the intermediate h' between the halves,
+    ~0.3 ms/layer at flagship shapes) and halves the kernel count. The price
+    is VMEM: all four GEMM weight sets resident at once — 14.1 MB bf16 at
+    w=768 (fits only at small frames/grid-step), 7.7 MB with int8 weights.
+    Selection is empirical via DFD_FUSED_BLOCK (see fused_encoder_block).
+    """
+    w = heads * head_dim
+
+    def kernel(h_ref, *rest):
+        if int8_gemm:
+            (wqkv_ref, wqs_ref, bqkv_ref, wo_ref, bo_ref, ln1s_ref, ln1b_ref,
+             wfc_ref, wfcs_ref, bfc_ref, wproj_ref, wprojs_ref, bproj_ref,
+             ln2s_ref, ln2b_ref, *out_refs) = rest
+        else:
+            (wqkv_ref, bqkv_ref, wo_ref, bo_ref, ln1s_ref, ln1b_ref,
+             wfc_ref, bfc_ref, wproj_ref, bproj_ref, ln2s_ref, ln2b_ref,
+             *out_refs) = rest
+            wqs_ref = wfcs_ref = wprojs_ref = None
+        scale = head_dim ** -0.5
+        if skip_inputs:
+            out_refs = out_refs[skip_inputs:]  # aliased accumulator INPUT refs
+        if export:
+            ho_ref, k_ref, v_ref = out_refs[:3]
+        else:
+            ho_ref = out_refs[0]
+            k_ref = v_ref = None
+
+        def col(base, h):
+            return slice(base + h * head_dim, base + (h + 1) * head_dim)
+
+        def ln(x32, s_ref, b_ref):
+            mean = jnp.mean(x32, axis=-1, keepdims=True)
+            var = jnp.var(x32, axis=-1, keepdims=True)
+            return (x32 - mean) * jax.lax.rsqrt(var + 1e-5) * s_ref[...] + b_ref[...]
+
+        for f in range(frames):
+            hf = h_ref[f]  # (T, W) bf16
+            y = ln(hf.astype(jnp.float32), ln1s_ref, ln1b_ref)
+            if int8_gemm:
+                yq, y_s = _quant_rows(y)
+                qkv = _w8a8_dot(yq, y_s, wqkv_ref, wqs_ref) + bqkv_ref[...]
+            else:
+                qkv = jax.lax.dot_general(
+                    y.astype(h_ref.dtype), wqkv_ref[...],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + bqkv_ref[...]
+            xf = qkv.astype(h_ref.dtype)  # (T, 3W)
+            if k_ref is not None:
+                lo = 1 if drop_cls else 0
+                if stacked:
+                    k_ref[0, f] = xf[lo:, w : 2 * w]
+                    v_ref[0, f] = xf[lo:, 2 * w :]
+                else:
+                    k_ref[f] = xf[lo:, w : 2 * w]
+                    v_ref[f] = xf[lo:, 2 * w :]
+            logits = [
+                jax.lax.dot_general(
+                    xf[:, col(0, h)], xf[:, col(w, h)],
+                    (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+                ) * scale
+                for h in range(heads)
+            ]
+            ps, sums = [], []
+            for l in logits:
+                p = jnp.exp(jnp.minimum(l, _LOGIT_CLAMP))
+                ps.append(p.astype(h_ref.dtype))
+                sums.append(jnp.sum(p, axis=-1, keepdims=True))  # (T, 1)
+            cols = []
+            for h in range(heads):
+                o = jnp.dot(ps[h], xf[:, col(2 * w, h)],
+                            preferred_element_type=jnp.float32)
+                cols.append(o / sums[h])
+            attn = jnp.concatenate(cols, axis=-1).astype(h_ref.dtype)  # (T, W)
+            out = jax.lax.dot_general(
+                attn, wo_ref[...],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            ) + bo_ref[...]
+            hmid32 = hf.astype(jnp.float32) + out  # residual, f32
+            # ---- MLP half, h' never leaves VMEM ----
+            y2 = ln(hmid32, ln2s_ref, ln2b_ref)
+            if int8_gemm:
+                y2q, y2_s = _quant_rows(y2)
+                mid = _w8a8_dot(y2q, y2_s, wfc_ref, wfcs_ref) + bfc_ref[...]
+            else:
+                mid = jax.lax.dot_general(
+                    y2.astype(h_ref.dtype), wfc_ref[...],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + bfc_ref[...]
+            mid = mid * jax.nn.sigmoid(1.702 * mid)  # QuickGELU, f32
+            if int8_gemm:
+                mq, m_s = _quant_rows(mid)
+                out2 = _w8a8_dot(mq, m_s, wproj_ref, wprojs_ref) + bproj_ref[...]
+            else:
+                out2 = jax.lax.dot_general(
+                    mid.astype(h_ref.dtype), wproj_ref[...],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + bproj_ref[...]
+            ho_ref[f] = (hmid32 + out2).astype(ho_ref.dtype)
+
+    return kernel
+
+
+def fused_encoder_block(
+    h: jax.Array,
+    ln1: dict,
+    attn: dict,
+    ln2: dict,
+    mlp: dict,
+    heads: int,
+    head_dim: int,
+    *,
+    export: bool = False,
+    drop_cls: bool = False,
+    export_into=None,
+    int8_gemm: bool = False,
+):
+    """One fused call for the ENTIRE encoder block (attention + MLP halves),
+    optionally exporting this layer's K/V. Same contract as
+    fused_encoder_attn_block(export=...) followed by fused_encoder_mlp_block,
+    in one Pallas call (see _make_full_block_kernel for the trade).
+    """
+    import os
+
+    n, t, w = h.shape
+    assert w == heads * head_dim
+    hidden = mlp["c_fc"]["w"].shape[1]
+    frames = int(os.environ.get("DFD_BLOCK_FRAMES", "2"))
+    while frames > 1 and n % frames:
+        frames //= 2
+    t_out = t - 1 if drop_cls else t
+    dt = h.dtype
+
+    bqkv = attn["in_proj"]["b"].astype(jnp.float32).reshape(1, 3 * w)
+    wo = attn["out_proj"]["w"].astype(dt)
+    bo = attn["out_proj"]["b"].astype(jnp.float32).reshape(1, w)
+    ln1s = ln1["scale"].astype(jnp.float32).reshape(1, w)
+    ln1b = ln1["bias"].astype(jnp.float32).reshape(1, w)
+    bfc = mlp["c_fc"]["b"].astype(jnp.float32).reshape(1, hidden)
+    bproj = mlp["c_proj"]["b"].astype(jnp.float32).reshape(1, w)
+    ln2s = ln2["scale"].astype(jnp.float32).reshape(1, w)
+    ln2b = ln2["bias"].astype(jnp.float32).reshape(1, w)
+
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    blocked = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0, 0),
+                                         memory_space=pltpu.VMEM)
+
+    stacked = export_into is not None
+    if int8_gemm:
+        wqkv, wqs = quantize_weight(attn["in_proj"]["w"])
+        wfc, wfcs = quantize_weight(mlp["c_fc"]["w"])
+        wproj, wprojs = quantize_weight(mlp["c_proj"]["w"])
+        inputs = [h, wqkv, wqs, bqkv, wo, bo, ln1s, ln1b,
+                  wfc, wfcs, bfc, wproj, wprojs, bproj, ln2s, ln2b]
+        in_specs = [
+            blocked((frames, t, w)),
+            const((w, 3 * w)), const((1, 3 * w)), const((1, 3 * w)),
+            const((w, w)), const((1, w)), const((1, w)), const((1, w)),
+            const((w, hidden)), const((1, hidden)), const((1, hidden)),
+            const((hidden, w)), const((1, w)), const((1, w)),
+            const((1, w)), const((1, w)),
+        ]
+    else:
+        wqkv = attn["in_proj"]["w"].astype(dt)
+        wfc = mlp["c_fc"]["w"].astype(dt)
+        wproj = mlp["c_proj"]["w"].astype(dt)
+        inputs = [h, wqkv, bqkv, wo, bo, ln1s, ln1b,
+                  wfc, bfc, wproj, bproj, ln2s, ln2b]
+        in_specs = [
+            blocked((frames, t, w)),
+            const((w, 3 * w)), const((1, 3 * w)),
+            const((w, w)), const((1, w)), const((1, w)), const((1, w)),
+            const((w, hidden)), const((1, hidden)),
+            const((hidden, w)), const((1, w)),
+            const((1, w)), const((1, w)),
+        ]
+    aliases = {}
+
+    out_shapes = [jax.ShapeDtypeStruct((n, t, w), dt)]
+    out_specs = [blocked((frames, t, w))]
+    if export:
+        if stacked:
+            kacc, vacc, slot, nsel = export_into
+            kv_block = pl.BlockSpec(
+                (1, frames, t_out, w),
+                lambda i, _slot=slot: (_slot, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for acc in (kacc, vacc):
+                # same in-place stacked-export scheme as
+                # fused_encoder_attn_block (ANY-space aliased input)
+                aliases[len(inputs)] = len(out_shapes)
+                inputs.append(acc)
+                in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+                out_shapes.append(jax.ShapeDtypeStruct((nsel, n, t_out, w), dt))
+                out_specs.append(kv_block)
+        else:
+            for _ in ("k", "v"):
+                out_shapes.append(jax.ShapeDtypeStruct((n, t_out, w), dt))
+                out_specs.append(blocked((frames, t_out, w)))
+
+    outs = pl.pallas_call(
+        _make_full_block_kernel(heads, head_dim, frames, export, drop_cls,
+                                stacked=stacked, skip_inputs=len(aliases),
+                                int8_gemm=int8_gemm),
+        out_shape=tuple(out_shapes),
+        grid=(n // frames,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        input_output_aliases=aliases,
+        interpret=_interpret(),
+    )(*inputs)
+
+    if not export:
+        return outs if isinstance(outs, jax.Array) else outs[0]
+    if stacked:
+        return outs[0], outs[1], outs[2]
+    k, v = outs[1], outs[2]
+    return (outs[0],
+            k.reshape(n, t_out, heads, head_dim),
+            v.reshape(n, t_out, heads, head_dim))
+
+
 def _make_mlp_block_kernel(frames: int, int8_gemm: bool = False):
     """LN2 + c_fc + QuickGELU + c_proj + residual, one fused call."""
 

@@ -179,6 +179,43 @@ def test_clip_vision_kv_pallas_matches_xla(rng, monkeypatch, drop_cls, stacked):
         )
 
 
+@pytest.mark.parametrize("stacked", ["1", "0"])
+@pytest.mark.parametrize("int8", [False, True])
+def test_clip_vision_kv_full_block_matches_xla(rng, monkeypatch, stacked, int8):
+    """Whole-block fusion (DFD_FUSED_BLOCK=full: attention + MLP + export in
+    ONE kernel per layer) vs the XLA composition, interpret mode on CPU."""
+    from dfd_clip_tpu.models.clip_vit import ARCHITECTURES, clip_vision_kv, init_clip_vision
+
+    cfg = ARCHITECTURES["ViT-Test"]
+    params = init_clip_vision(jax.random.key(3), cfg)
+    x = jnp.asarray(
+        rng.standard_normal((2, 3, cfg.input_resolution, cfg.input_resolution)),
+        jnp.float32,
+    )
+    keep = (0, 2)
+
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "xla")
+    want = clip_vision_kv(params, x, cfg, compute_dtype=jnp.float32,
+                          keep_layers=keep, drop_cls=True,
+                          compute_int8=int8)
+
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "pallas")
+    monkeypatch.setenv("DFD_FUSED_BLOCK", "full")
+    monkeypatch.setenv("DFD_STACKED_EXPORT", stacked)
+    got = clip_vision_kv(params, x, cfg, compute_dtype=jnp.float32,
+                         keep_layers=keep, drop_cls=True,
+                         compute_int8=int8)
+
+    # int8 per-row activation quantization differs slightly between the
+    # fused (in-VMEM rows) and XLA (linear_w8a8) compositions.
+    tol = 5e-2 if int8 else 5e-4
+    for name in ("k", "v"):
+        assert got[name].shape == want[name].shape
+        np.testing.assert_allclose(
+            np.asarray(got[name]), np.asarray(want[name]), rtol=tol, atol=tol
+        )
+
+
 def test_decoder_dispatcher_env_switch(rng, monkeypatch):
     b, h, d, l = 2, 2, 32, 16
     qs = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
