@@ -210,11 +210,15 @@ def clip_vision_kv(
         return q, scale
 
     # The fused-block kernels budget VMEM for ViT-B geometry: at w=1024
-    # (ViT-L) the resident weights alone (qkv 6.3 MB, MLP 16.8 MB bf16)
+    # (ViT-L) the resident bf16 weights alone (qkv 6.3 MB, MLP 16.8 MB)
     # exceed the ~16 MB scoped-VMEM limit, so wide towers run the XLA
     # composition (which still uses the Pallas attention-only kernel via
-    # encoder_self_attention_qkv).
-    fused = attention_ops.use_fused_blocks() and cfg.width <= 768
+    # encoder_self_attention_qkv). With int8 weights the split kernels fit
+    # at w=1024 (qkv 3.1 + wo 2.1 MB; MLP 8.4 MB), so the compute_int8
+    # path keeps the fused blocks for ViT-L too.
+    fused = attention_ops.use_fused_blocks() and (
+        cfg.width <= 768 or (compute_int8 and cfg.width <= 1024)
+    )
     # Fused + plain-bf16 export writes K/V straight into slices of the final
     # (Lsel, N, T', W) accumulators (input_output_aliases, in-place): the
     # per-layer arrays and the jnp.stack copy never exist. kv_int8 needs the
@@ -231,7 +235,10 @@ def clip_vision_kv(
     # kernel pair for bf16 (DFD_FUSED_BLOCK=full|split overrides).
     block_mode = _os.environ.get("DFD_FUSED_BLOCK", "auto")
     if block_mode == "auto":
-        block_mode = "full" if compute_int8 else "split"
+        # full-block int8 weights are ~7.7 MB at w=768 but ~12.7 MB at
+        # w=1024 — too close to the scoped-VMEM limit with the f32
+        # intermediates, so wide towers stay on the split pair.
+        block_mode = "full" if (compute_int8 and cfg.width <= 768) else "split"
     full_block = (fused and block_mode == "full"
                   and _os.environ.get("DFD_FUSED_MLP", "1") != "0")
     slot_of = {layer: s for s, layer in enumerate(keep)}

@@ -275,9 +275,11 @@ def fused_encoder_attn_block(
     # Frames per grid step: larger steps raise the qkv GEMM's M (197·frames)
     # toward full MXU efficiency at the cost of VMEM; 4 measured best at
     # ViT-B flagship shapes (DFD_FUSED_FRAMES overrides for experiments).
+    # Wide towers (ViT-L: 257 tokens, 16 heads) halve it — the per-frame
+    # logits alone are 4.2 MB f32 there.
     import os
 
-    frames = int(os.environ.get("DFD_FUSED_FRAMES", "4"))
+    frames = int(os.environ.get("DFD_FUSED_FRAMES", "4" if w <= 768 else "2"))
     while frames > 1 and n % frames:
         frames //= 2
     t_out = t - 1 if drop_cls else t
@@ -670,7 +672,7 @@ def fused_encoder_mlp_block(h: jax.Array, ln: dict, mlp: dict,
     n, t, w = h.shape
     hidden = mlp["c_fc"]["w"].shape[1]
     dt = h.dtype
-    frames = int(os.environ.get("DFD_MLP_FRAMES", "2"))
+    frames = int(os.environ.get("DFD_MLP_FRAMES", "2" if w <= 768 else "1"))
     while frames > 1 and n % frames:
         frames //= 2
 

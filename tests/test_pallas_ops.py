@@ -216,6 +216,28 @@ def test_clip_vision_kv_full_block_matches_xla(rng, monkeypatch, stacked, int8):
         )
 
 
+def test_clip_vision_kv_wide_tower_int8_fused(rng, monkeypatch):
+    """w=1024 towers (ViT-L class) keep the fused blocks on the int8 path —
+    int8 weights fit scoped VMEM where bf16 doesn't (clip_vit gate)."""
+    from dfd_clip_tpu.models.clip_vit import ViTConfig, clip_vision_kv, init_clip_vision
+
+    cfg = ViTConfig(input_resolution=32, patch_size=16, width=1024,
+                    layers=2, heads=16, output_dim=32)
+    params = init_clip_vision(jax.random.key(5), cfg)
+    x = jnp.asarray(rng.standard_normal((2, 3, 32, 32)), jnp.float32)
+
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "xla")
+    want = clip_vision_kv(params, x, cfg, compute_dtype=jnp.float32,
+                          keep_layers=(0, 1), drop_cls=True, compute_int8=True)
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "pallas")
+    got = clip_vision_kv(params, x, cfg, compute_dtype=jnp.float32,
+                         keep_layers=(0, 1), drop_cls=True, compute_int8=True)
+    for name in ("k", "v"):
+        np.testing.assert_allclose(
+            np.asarray(got[name]), np.asarray(want[name]), rtol=5e-2, atol=5e-2
+        )
+
+
 def test_decoder_dispatcher_env_switch(rng, monkeypatch):
     b, h, d, l = 2, 2, 32, 16
     qs = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
