@@ -56,7 +56,7 @@ def measure_predict(model, params, xd, md, tag, windows=3, depth=10):
             np.asarray(o)
         times.append(time.perf_counter() - t0)
     t = sorted(times)[len(times) // 2] / depth
-    print(f"{tag:34s} {t * 1e3:8.2f} ms/batch  {BATCH / t:7.1f} clips/s")
+    print(f"{tag:34s} {t * 1e3:8.2f} ms/batch  {BATCH / t:7.1f} clips/s", flush=True)
     return t
 
 
@@ -102,7 +102,7 @@ def measure_train(batch=12, steps=8):
         times.append((time.perf_counter() - t0) / steps)
     t = sorted(times)[1]
     print(f"{'train step (b=%d x %df)' % (batch, FRAMES):34s} {t * 1e3:8.2f} ms/step "
-          f" {batch / t:7.1f} clips/s  {1 / t:5.2f} steps/s")
+          f" {batch / t:7.1f} clips/s  {1 / t:5.2f} steps/s", flush=True)
     return t
 
 
@@ -111,9 +111,12 @@ def main():
     print(f"backend={jax.default_backend()} batch={BATCH} "
           f"knobs: FUSED_FRAMES={os.environ.get('DFD_FUSED_FRAMES', '4')} "
           f"MLP_FRAMES={os.environ.get('DFD_MLP_FRAMES', '2')} "
+          f"BLOCK={os.environ.get('DFD_FUSED_BLOCK', 'auto')} "
+          f"BLOCK_FRAMES={os.environ.get('DFD_BLOCK_FRAMES', '2')} "
           f"DEC_TILE={os.environ.get('DFD_DEC_TILE', '512')} "
           f"FUSED_MLP={os.environ.get('DFD_FUSED_MLP', '1')} "
-          f"STACKED={os.environ.get('DFD_STACKED_EXPORT', '1')}")
+          f"STACKED={os.environ.get('DFD_STACKED_EXPORT', '1')}",
+          flush=True)
 
     rng0 = np.random.default_rng(0)
     xd = jax.device_put(rng0.integers(0, 255, (BATCH, FRAMES, 3, RES, RES), np.uint8))
