@@ -244,12 +244,17 @@ def clip_vision_kv(
     slot_of = {layer: s for s, layer in enumerate(keep)}
     nsel = len(keep)
     kacc = vacc = None
-    if stacked_export:
+    fresh_acc = _os.environ.get("DFD_FRESH_ACC", "0") == "1"
+    if stacked_export and not fresh_acc:
         # zero-init accumulators (one pass over the K/V footprint). An
         # uninitialized-buffer allocation (no-op ANY-space pallas outputs)
         # was tried and compiles to the same kernels, but nudges Mosaic's
         # scoped-VMEM accounting over the 16 MB limit at frames=4 — the
-        # zeros form is the one that reliably compiles.
+        # zeros form is the one that reliably compiles. DFD_FRESH_ACC=1
+        # instead lets the FIRST kept layer's export call emit the
+        # accumulators as fresh outputs (later layers alias into them),
+        # skipping this pass — A/B it per kernel config (the fresh form's
+        # Mosaic VMEM accounting differs, see the round-2 note above).
         tt = t - 1 if drop_cls else t
         kacc = jnp.zeros((nsel, n, tt, w), h.dtype)
         vacc = jnp.zeros((nsel, n, tt, w), h.dtype)

@@ -190,29 +190,76 @@ def apply_decoder(
     x = layers.layer_norm(params["ln_pre"], x)
     x = layers.dropout(x, cfg.dropout, next_rng(), train)
 
+    # Single-device TPU inference: run the per-block interstitial (out-proj +
+    # residual + LN2 + MLP + next block's LN1 + query in-proj) as ONE Pallas
+    # boundary kernel per block instead of ~12 XLA ops — the whole decoder
+    # becomes back-to-back Pallas calls (ops/pallas_decoder_stack.py).
+    # Training differentiates the XLA composition; aug_query reorders the
+    # query input and keeps the XLA path; multi-chip (spmd) likewise.
+    import os as _os
+
+    _stack_env = _os.environ.get("DFD_DEC_STACK", "1")
+    use_stack = (
+        _stack_env != "0"
+        and not train
+        and not cfg.attn_mode
+        and not cfg.aug_query
+        and _os.environ.get("DFD_ATTENTION_BACKEND", "auto") != "xla"
+    )
+    if use_stack and _stack_env != "force":
+        from ..ops import attention as attention_ops
+
+        single = jax.device_count() == 1 or attention_ops.in_local_program()
+        use_stack = jax.default_backend() == "tpu" and single
+
     results = []
-    for i, blk in enumerate(params["blocks"]):
-        q_in = layers.layer_norm(blk["ln_1"], x)
-        qs = layers.linear(blk["attn"]["in_proj"], q_in)
-        q_smax, q_coda = jnp.split(qs, 2, axis=-1)
-        q_smax = q_smax.reshape(b, -1, h, d)
-        q_coda = q_coda.reshape(b, -1, h, d)
-        attn_out = dual_activation_attention(
-            q_smax, q_coda, k_all, v_all, token_mask,
-            num_frames=t, attn_mode=cfg.attn_mode, temporal_pos=pos_tok,
-            layer=i, differentiable=train,
-        )
-        attn_out = layers.linear(blk["attn"]["out_proj"], attn_out.reshape(b, -1, cfg.width))
-        x = x + attn_out
-        y = layers.layer_norm(blk["ln_2"], x)
-        y = layers.linear(blk["mlp"]["c_fc"], y)
-        y = layers.quick_gelu(y)
-        y = layers.dropout(y, cfg.dropout, next_rng(), train)
-        y = layers.linear(blk["mlp"]["c_proj"], y)
-        x = x + y
-        results.append(x)
-        if cfg.aug_query and i < cfg.num_blocks - 1:
-            x = x + params["aug_query"][i].astype(x.dtype)
+    if use_stack:
+        from ..ops.pallas_decoder_stack import decoder_boundary
+
+        blocks = params["blocks"]
+        qp = lambda blk: {"ln_1": blk["ln_1"], "in_proj": blk["attn"]["in_proj"]}
+        x2d = x[:, 0]  # (B, W)
+        _, qrow = decoder_boundary(x2d, None, None, qp(blocks[0]))
+        for i, blk in enumerate(blocks):
+            q_smax = qrow[:, : cfg.width].reshape(b, 1, h, d)
+            q_coda = qrow[:, cfg.width :].reshape(b, 1, h, d)
+            attn_out = dual_activation_attention(
+                q_smax, q_coda, k_all, v_all, token_mask,
+                num_frames=t, attn_mode=cfg.attn_mode, temporal_pos=pos_tok,
+                layer=i, differentiable=False,
+            )
+            nxt = qp(blocks[i + 1]) if i + 1 < len(blocks) else None
+            x2d, qrow = decoder_boundary(
+                x2d, attn_out.reshape(b, cfg.width),
+                {"attn_out_proj": blk["attn"]["out_proj"],
+                 "ln_2": blk["ln_2"], "mlp": blk["mlp"]},
+                nxt,
+            )
+            results.append(x2d[:, None])
+        x = x2d[:, None]
+    else:
+        for i, blk in enumerate(params["blocks"]):
+            q_in = layers.layer_norm(blk["ln_1"], x)
+            qs = layers.linear(blk["attn"]["in_proj"], q_in)
+            q_smax, q_coda = jnp.split(qs, 2, axis=-1)
+            q_smax = q_smax.reshape(b, -1, h, d)
+            q_coda = q_coda.reshape(b, -1, h, d)
+            attn_out = dual_activation_attention(
+                q_smax, q_coda, k_all, v_all, token_mask,
+                num_frames=t, attn_mode=cfg.attn_mode, temporal_pos=pos_tok,
+                layer=i, differentiable=train,
+            )
+            attn_out = layers.linear(blk["attn"]["out_proj"], attn_out.reshape(b, -1, cfg.width))
+            x = x + attn_out
+            y = layers.layer_norm(blk["ln_2"], x)
+            y = layers.linear(blk["mlp"]["c_fc"], y)
+            y = layers.quick_gelu(y)
+            y = layers.dropout(y, cfg.dropout, next_rng(), train)
+            y = layers.linear(blk["mlp"]["c_proj"], y)
+            x = x + y
+            results.append(x)
+            if cfg.aug_query and i < cfg.num_blocks - 1:
+                x = x + params["aug_query"][i].astype(x.dtype)
 
     feats = jnp.concatenate(results, axis=1)  # (B, num_blocks, W)
 

@@ -335,19 +335,20 @@ def fused_encoder_attn_block(
                 lambda i, _slot=slot: (_slot, i, 0, 0),
                 memory_space=pltpu.VMEM,
             )
-            assert kacc is not None and vacc is not None, (
-                "stacked export requires pre-allocated accumulators "
-                "(zero-initialized by the caller, see clip_vision_kv)"
-            )
             for acc in (kacc, vacc):
                 # the kernel never READS the aliased accumulator input — ANY
                 # keeps it out of VMEM (only output blocks staged); aliasing
                 # also keeps Mosaic's in-place output handling, which a
                 # fresh (non-aliased) stacked output would lose (measured:
-                # VMEM OOM at frames=4 without the alias)
-                aliases[len(inputs)] = len(out_shapes)
-                inputs.append(acc)
-                in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+                # VMEM OOM at frames=4 without the alias). acc=None
+                # (DFD_FRESH_ACC, first kept layer) emits the accumulator as
+                # a FRESH output — other slots are uninitialized until their
+                # layer's aliased call writes them, skipping the caller's
+                # zero-init pass over the full K/V footprint (~2 ms/batch).
+                if acc is not None:
+                    aliases[len(inputs)] = len(out_shapes)
+                    inputs.append(acc)
+                    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
                 out_shapes.append(jax.ShapeDtypeStruct((nsel, n, t_out, w), dt))
                 out_specs.append(kv_block)
         else:
@@ -582,10 +583,12 @@ def fused_encoder_block(
             )
             for acc in (kacc, vacc):
                 # same in-place stacked-export scheme as
-                # fused_encoder_attn_block (ANY-space aliased input)
-                aliases[len(inputs)] = len(out_shapes)
-                inputs.append(acc)
-                in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+                # fused_encoder_attn_block (ANY-space aliased input;
+                # acc=None emits a fresh accumulator — DFD_FRESH_ACC)
+                if acc is not None:
+                    aliases[len(inputs)] = len(out_shapes)
+                    inputs.append(acc)
+                    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
                 out_shapes.append(jax.ShapeDtypeStruct((nsel, n, t_out, w), dt))
                 out_specs.append(kv_block)
         else:

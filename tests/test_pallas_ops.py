@@ -179,6 +179,29 @@ def test_clip_vision_kv_pallas_matches_xla(rng, monkeypatch, drop_cls, stacked):
         )
 
 
+def test_clip_vision_kv_fresh_acc_matches_zeroed(rng, monkeypatch):
+    """DFD_FRESH_ACC=1 (first export call emits the stacked accumulators as
+    fresh outputs, no zero-init pass) == the zero-initialized form."""
+    from dfd_clip_tpu.models.clip_vit import ARCHITECTURES, clip_vision_kv, init_clip_vision
+
+    cfg = ARCHITECTURES["ViT-Test"]
+    params = init_clip_vision(jax.random.key(3), cfg)
+    x = jnp.asarray(
+        rng.standard_normal((2, 3, cfg.input_resolution, cfg.input_resolution)),
+        jnp.float32,
+    )
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "pallas")
+    monkeypatch.setenv("DFD_STACKED_EXPORT", "1")
+    want = clip_vision_kv(params, x, cfg, compute_dtype=jnp.float32,
+                          keep_layers=(0, 2), drop_cls=True)
+    monkeypatch.setenv("DFD_FRESH_ACC", "1")
+    got = clip_vision_kv(params, x, cfg, compute_dtype=jnp.float32,
+                         keep_layers=(0, 2), drop_cls=True)
+    for name in ("k", "v"):
+        np.testing.assert_allclose(np.asarray(got[name]), np.asarray(want[name]),
+                                   rtol=1e-6, atol=1e-6)
+
+
 @pytest.mark.parametrize("stacked", ["1", "0"])
 @pytest.mark.parametrize("int8", [False, True])
 def test_clip_vision_kv_full_block_matches_xla(rng, monkeypatch, stacked, int8):
@@ -292,6 +315,36 @@ def test_fused_kernels_int8_gemm_close_to_bf16(rng):
     mo = fused_encoder_mlp_block(hin, ln, mlp)
     mo8 = fused_encoder_mlp_block(hin, ln, mlp, int8_gemm=True)
     assert cos(mo, mo8) > 0.999
+
+
+@pytest.mark.parametrize("global_pred", [False, True])
+def test_decoder_stack_boundary_matches_xla(rng, monkeypatch, global_pred):
+    """DFD_DEC_STACK=force (per-block boundary kernels + attention kernel,
+    zero XLA interstitial) vs the plain XLA decoder composition."""
+    from dfd_clip_tpu.models import decoder as decoder_lib
+    from dfd_clip_tpu.models.decoder import DecoderConfig, init_decoder
+
+    cfg = DecoderConfig(width=128, heads=2, num_frames=3,
+                        layer_indices=(0, 1), out_dims=(2,),
+                        global_prediction=global_pred)
+    params = init_decoder(jax.random.key(0), cfg)
+    kvs = {
+        s: jnp.asarray(rng.standard_normal((2, 2, 3, 8, 2, 64)), jnp.float32)
+        for s in ("k", "v")
+    }
+    m = jnp.asarray([[True, True, True], [True, True, False]])
+
+    monkeypatch.setenv("DFD_DEC_STACK", "0")
+    want_logits, want_feat = decoder_lib.apply_decoder(params, kvs, m, cfg)
+
+    monkeypatch.setenv("DFD_DEC_STACK", "force")
+    got_logits, got_feat = decoder_lib.apply_decoder(params, kvs, m, cfg)
+
+    np.testing.assert_allclose(np.asarray(got_feat), np.asarray(want_feat),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_logits[0]),
+                               np.asarray(want_logits[0]),
+                               rtol=2e-3, atol=2e-4)
 
 
 def test_decoder_training_grad_skips_kernel(rng, monkeypatch):
