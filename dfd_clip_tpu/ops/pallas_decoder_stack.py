@@ -85,7 +85,11 @@ def _boundary_kernel(*refs, has_tail: bool, has_query: bool, width: int,
         x = x + out
         y2 = ln(x.astype(jnp.float32), ln2s_ref, ln2b_ref).astype(x.dtype)
         mid = linear_bf16(y2, wfc_ref, bfc_ref)
-        mid = mid * jax.nn.sigmoid(1.702 * mid)  # QuickGELU, activation dtype
+        # QuickGELU in f32 (Mosaic's logistic lowering broadcasts an f32
+        # constant internally and rejects bf16 vectors — same reason the
+        # encoder kernels run their GELU in f32); cast back for the GEMM.
+        m32 = mid.astype(jnp.float32)
+        mid = (m32 * jax.nn.sigmoid(1.702 * m32)).astype(mid.dtype)
         x = x + linear_bf16(mid, wproj_ref, bproj_ref)
         x_out_ref[...] = x
     if has_query:

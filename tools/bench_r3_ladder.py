@@ -1,0 +1,314 @@
+"""Same-process A/B ladder over env knobs (round 3).
+
+Each rung sets env knobs, rebuilds + rejits the flagship predict, and
+measures in THIS process — the only comparison that survives the ambient
+tunnel drift (PERF.md). Knobs are read at trace time, so setting os.environ
+between builds retraces with the new configuration.
+
+Usage: python -u tools/bench_r3_ladder.py int8   # int8 ladder (default)
+       python -u tools/bench_r3_ladder.py bf16   # bf16 ladder
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+FRAMES = 20
+RES = 224
+
+LADDERS = {
+    "int8": [
+        ("int8 split, no dec-stack (r2 cfg)",
+         {"DFD_FUSED_BLOCK": "split", "DFD_DEC_STACK": "0"}, 1),
+        ("int8 split + dec-stack",
+         {"DFD_FUSED_BLOCK": "split", "DFD_DEC_STACK": "1"}, 1),
+        ("int8 FULL block + dec-stack",
+         {"DFD_FUSED_BLOCK": "full", "DFD_DEC_STACK": "1"}, 1),
+        ("int8 full + dec-stack + fresh-acc",
+         {"DFD_FUSED_BLOCK": "full", "DFD_DEC_STACK": "1",
+          "DFD_FRESH_ACC": "1"}, 1),
+        ("int8 full + stack + fresh, bf=4",
+         {"DFD_FUSED_BLOCK": "full", "DFD_DEC_STACK": "1",
+          "DFD_FRESH_ACC": "1", "DFD_BLOCK_FRAMES": "4"}, 1),
+    ],
+    "int82": [  # round-2 of the int8 ladder: fresh-acc everywhere, vary rest
+        ("int8 split + fresh (no stack)",
+         {"DFD_FUSED_BLOCK": "split", "DFD_DEC_STACK": "0",
+          "DFD_FRESH_ACC": "1"}, 1),
+        ("int8 full + fresh (no stack)",
+         {"DFD_FUSED_BLOCK": "full", "DFD_DEC_STACK": "0",
+          "DFD_FRESH_ACC": "1"}, 1),
+        ("int8 full + fresh + stack, bf=1",
+         {"DFD_FUSED_BLOCK": "full", "DFD_DEC_STACK": "1",
+          "DFD_FRESH_ACC": "1", "DFD_BLOCK_FRAMES": "1"}, 1),
+        ("int8 split + fresh + FUSED_FRAMES=8",
+         {"DFD_FUSED_BLOCK": "split", "DFD_DEC_STACK": "1",
+          "DFD_FRESH_ACC": "1", "DFD_FUSED_FRAMES": "8"}, 1),
+        ("int8 split + fresh + MLP_FRAMES=4",
+         {"DFD_FUSED_BLOCK": "split", "DFD_DEC_STACK": "1",
+          "DFD_FRESH_ACC": "1", "DFD_MLP_FRAMES": "4"}, 1),
+        ("int8 full + fresh + DEC_TILE=1024",
+         {"DFD_FUSED_BLOCK": "full", "DFD_DEC_STACK": "1",
+          "DFD_FRESH_ACC": "1", "DFD_DEC_TILE": "1024"}, 1),
+        ("int8 full + fresh + DEC_TILE=2048",
+         {"DFD_FUSED_BLOCK": "full", "DFD_DEC_STACK": "1",
+          "DFD_FRESH_ACC": "1", "DFD_DEC_TILE": "2048"}, 1),
+    ],
+    "bf16": [
+        ("bf16 split, no dec-stack (r2 cfg)",
+         {"DFD_FUSED_BLOCK": "split", "DFD_DEC_STACK": "0"}, 0),
+        ("bf16 split + dec-stack",
+         {"DFD_FUSED_BLOCK": "split", "DFD_DEC_STACK": "1"}, 0),
+        ("bf16 split + dec-stack + fresh-acc",
+         {"DFD_FUSED_BLOCK": "split", "DFD_DEC_STACK": "1",
+          "DFD_FRESH_ACC": "1"}, 0),
+        ("bf16 FULL block bf=1 (VMEM probe)",
+         {"DFD_FUSED_BLOCK": "full", "DFD_DEC_STACK": "1",
+          "DFD_BLOCK_FRAMES": "1"}, 0),
+    ],
+}
+
+KNOB_KEYS = ["DFD_FUSED_BLOCK", "DFD_DEC_STACK", "DFD_FRESH_ACC",
+             "DFD_BLOCK_FRAMES", "DFD_FUSED_FRAMES", "DFD_MLP_FRAMES",
+             "DFD_DEC_TILE", "DFD_STACKED_EXPORT", "DFD_FUSED_MLP"]
+
+
+def build(compute_int8: int):
+    from dfd_clip_tpu.models.detector import Detector
+
+    cfg = Detector.get_default_config()
+    cfg.merge_from_other_cfg(
+        {
+            "decode_mode": "index",
+            "decode_indices": [6, 7, 8, 9, 10, 11],
+            "out_dim": [2],
+            "losses": ["auc_roc"],
+            "op_mode": {"temporal_position": 1, "compute_int8": compute_int8},
+        }
+    )
+    return Detector(cfg, num_frames=FRAMES)
+
+
+def components(int8: int):
+    """Decompose predict: encoder K/V export alone, decoder alone, full."""
+    import jax.numpy as jnp
+
+    os.environ.update({"DFD_FUSED_BLOCK": "full" if int8 else "split",
+                       "DFD_FRESH_ACC": "1"})
+    model = build(int8)
+    params = model.init_params(jax.random.key(0))
+    rng0 = np.random.default_rng(0)
+    xd = jax.device_put(rng0.integers(0, 255, (BATCH, FRAMES, 3, RES, RES), np.uint8))
+    md = jax.device_put(np.ones((BATCH, FRAMES), bool))
+
+    def timeit(tag, fn, *args):
+        np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [fn(*args) for _ in range(10)]
+            for o in outs:
+                np.asarray(jax.tree_util.tree_leaves(o)[0])
+            times.append(time.perf_counter() - t0)
+        t = sorted(times)[1] / 10
+        print(f"{tag:42s} {t * 1e3:8.2f} ms", flush=True)
+        return t
+
+    # stage decomposition, each with a scalar-reduced output fetch
+    def pre_only(x):
+        return model.preprocess(x).astype(jnp.float32).sum()
+
+    def enc_only(p, x):
+        kvs = model.encode_kv(p, model.preprocess(x))
+        return kvs["k"].astype(jnp.float32).sum() + kvs["v"].astype(jnp.float32).sum()
+
+    fn_full = jax.jit(lambda p, x, m: model.predict(p, x, m)[0][0])
+    t_full = timeit("predict (full)", fn_full, params, xd, md)
+    t_enc = timeit("preprocess + encoder K/V (+sum)", jax.jit(enc_only), params, xd)
+    t_pre = timeit("preprocess only (+sum)", jax.jit(pre_only), xd)
+    print(f"{'-> decoder (full - enc)':42s} {(t_full - t_enc) * 1e3:8.2f} ms",
+          flush=True)
+    print(f"{'-> encoder stack (enc - pre)':42s} {(t_enc - t_pre) * 1e3:8.2f} ms",
+          flush=True)
+
+
+def slope(int8: int = 1):
+    """RTT-free stage decomposition via scan-chained slope timing
+    (tools/slope_timer.py methodology — the components mode's per-call
+    fetches pay the ~30 ms tunnel RTT and drown short programs)."""
+    import jax.numpy as jnp
+
+    from slope_timer import time_slope
+
+    os.environ.update({"DFD_FUSED_BLOCK": "full" if int8 else "split",
+                       "DFD_FRESH_ACC": "1" if int8 else "0"})
+    model = build(int8)
+    params = model.init_params(jax.random.key(0))
+    rng0 = np.random.default_rng(0)
+    xd = jax.device_put(rng0.integers(0, 255, (BATCH, FRAMES, 3, RES, RES), np.uint8))
+    md = jax.device_put(np.ones((BATCH, FRAMES), bool))
+
+    def pred(x):
+        return model.predict(params, x, md)[0][0]
+
+    def enc(x):
+        kvs = model.encode_kv(params, model.preprocess(x))
+        return kvs["k"].astype(jnp.float32).sum() + kvs["v"].astype(jnp.float32).sum()
+
+    def pre(x):
+        return model.preprocess(x).astype(jnp.float32).sum()
+
+    t_pred = time_slope(pred, xd, short=2, long=8, reps=5, name="predict")
+    t_enc = time_slope(enc, xd, short=2, long=8, reps=5, name="pre+encoder")
+    t_pre = time_slope(pre, xd, short=2, long=12, reps=5, name="preprocess")
+    print(f"{'-> decoder (pred - enc)':42s} {(t_pred - t_enc) * 1e3:8.2f} ms", flush=True)
+    print(f"{'-> encoder (enc - pre)':42s} {(t_enc - t_pre) * 1e3:8.2f} ms", flush=True)
+    print(f"{'clips/s (slope predict)':42s} {BATCH / t_pred:8.1f}", flush=True)
+
+
+def chain(int8: int, knobs: dict | None = None):
+    """RTT-immune timing via dependency-chained dispatches.
+
+    The components/ladder windows pay a per-call tunnel cost (preprocess — a
+    ~0.4 ms roofline elementwise op — 'measures' 30.6 ms, the known ~30 ms
+    axon RTT), and the scan-based slope timer's remote_compile request
+    exceeds the tunnel's body limit (HTTP 413). This mode instead dispatches
+    N predicts where input k+1 is nudged by output k (a data dependency the
+    device must honor), fetches ONLY the last result, and reports the slope
+    between two chain lengths — all per-window constants (RTT, dispatch,
+    fetch) cancel, and the compiled program is just predict + a cheap feed.
+    """
+    import jax.numpy as jnp
+
+    os.environ.update({"DFD_FUSED_BLOCK": "full" if int8 else "split",
+                       "DFD_FRESH_ACC": "1" if int8 else "0"})
+    if knobs:
+        os.environ.update(knobs)
+    model = build(int8)
+    params = model.init_params(jax.random.key(0))
+    rng0 = np.random.default_rng(0)
+    x_host = rng0.integers(0, 255, (BATCH, FRAMES, 3, RES, RES), np.uint8)
+    xd = jax.device_put(x_host)
+    md = jax.device_put(np.ones((BATCH, FRAMES), bool))
+
+    def feed(x, out):
+        # zero-valued nudge -> data dependency without changing values
+        z = (jnp.sum(out.astype(jnp.float32)) * 0).astype(jnp.uint8)
+        return x + z
+
+    feed_j = jax.jit(feed)
+
+    def timeit(tag, fn, short=3, long=13, reps=5):
+        fn_j = jax.jit(fn)
+
+        def window(n):
+            x = xd
+            out = None
+            for _ in range(n):
+                out = fn_j(params, x, md)
+                x = feed_j(x, out)
+            np.asarray(jax.tree_util.tree_leaves(out)[0])
+
+        window(1)  # compile both programs + sync
+        slopes = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            window(short)
+            ts = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            window(long)
+            tl = time.perf_counter() - t0
+            slopes.append((tl - ts) / (long - short))
+        t = sorted(slopes)[len(slopes) // 2]
+        print(f"{tag:42s} {t * 1e3:8.2f} ms  {BATCH / t:7.1f} clips/s",
+              flush=True)
+        return t
+
+    # feed-only chain: measures the nudge op itself so it can be subtracted
+    def feed_only(p, x, m):
+        return x.astype(jnp.float32).sum()[None]
+
+    t_feed = timeit("feed+sum only (chain overhead)", feed_only)
+
+    def pred(p, x, m):
+        return model.predict(p, x, m)[0][0]
+
+    def enc(p, x, m):
+        kvs = model.encode_kv(p, model.preprocess(x))
+        return (kvs["k"].astype(jnp.float32).sum()
+                + kvs["v"].astype(jnp.float32).sum())[None]
+
+    def pre(p, x, m):
+        return model.preprocess(x).astype(jnp.float32).sum()[None]
+
+    t_pred = timeit("predict (chained slope)", pred)
+    t_enc = timeit("pre+encoder (chained slope)", enc)
+    t_pre = timeit("preprocess (chained slope)", pre)
+    net = t_pred - t_feed
+    print(f"{'predict net of feed':42s} {net * 1e3:8.2f} ms  "
+          f"{BATCH / net:7.1f} clips/s", flush=True)
+    print(f"{'-> decoder (pred - enc)':42s} {(t_pred - t_enc) * 1e3:8.2f} ms",
+          flush=True)
+    print(f"{'-> encoder (enc - pre)':42s} {(t_enc - t_pre) * 1e3:8.2f} ms",
+          flush=True)
+    print(f"{'-> preprocess (pre - feed)':42s} {(t_pre - t_feed) * 1e3:8.2f} ms",
+          flush=True)
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "chain":
+        print(f"backend={jax.default_backend()} batch={BATCH}x{FRAMES}f chain",
+              flush=True)
+        chain(int8=1 if len(sys.argv) < 3 or sys.argv[2] != "bf16" else 0)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "slope":
+        print(f"backend={jax.default_backend()} batch={BATCH}x{FRAMES}f slope",
+              flush=True)
+        slope(int8=1 if len(sys.argv) < 3 or sys.argv[2] != "bf16" else 0)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "components":
+        print(f"backend={jax.default_backend()} batch={BATCH}x{FRAMES}f", flush=True)
+        components(int8=1)
+        return
+    ladder = LADDERS[sys.argv[1] if len(sys.argv) > 1 else "int8"]
+    print(f"backend={jax.default_backend()} batch={BATCH}x{FRAMES}f", flush=True)
+
+    rng0 = np.random.default_rng(0)
+    xd = jax.device_put(rng0.integers(0, 255, (BATCH, FRAMES, 3, RES, RES), np.uint8))
+    md = jax.device_put(np.ones((BATCH, FRAMES), bool))
+
+    for tag, knobs, int8 in ladder:
+        for k in KNOB_KEYS:
+            os.environ.pop(k, None)
+        os.environ.update(knobs)
+        model = build(int8)
+        params = model.init_params(jax.random.key(0))
+        fn = jax.jit(lambda p, x, m: model.predict(p, x, m)[0][0])
+        try:
+            np.asarray(fn(params, xd, md))  # compile+sync
+        except Exception as e:  # Mosaic OOM etc. — record and continue
+            print(f"{tag:42s} FAILED: {type(e).__name__}: {str(e)[:140]}",
+                  flush=True)
+            continue
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [fn(params, xd, md) for _ in range(10)]
+            for o in outs:
+                np.asarray(o)
+            times.append(time.perf_counter() - t0)
+        t = sorted(times)[1] / 10
+        print(f"{tag:42s} {t * 1e3:8.2f} ms/batch  {BATCH / t:7.1f} clips/s",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
