@@ -329,22 +329,43 @@ def main():
     xd = jax.device_put(np.zeros((BATCH_CLIPS, NUM_FRAMES, 3, RES, RES), np.uint8))
     md = jax.device_put(mask)
 
-    def measure_device_only(fn):
-        """clips/s/chip for a resident-input predict fn: median of 3
-        pipelined 10-dispatch windows (single windows are RTT/host-noise
-        sensitive on the tunnel)."""
-        np.asarray(fn(params, xd, md))
-        times = []
-        for _ in range(3):
+    import jax.numpy as jnp
+
+    feed_j = jax.jit(
+        lambda x, out: x + (jnp.sum(out.astype(jnp.float32)) * 0).astype(x.dtype)
+    )
+
+    def measure_device_only(fn, p):
+        """clips/s/chip for a resident-input predict fn, via chained-slope
+        timing: N dispatches where input k+1 depends on output k (the device
+        serializes them), fetch only the last, report the slope between two
+        chain lengths. All per-window constants — tunnel RTT, dispatch,
+        fetch — cancel; the windowed alternative inflates each call by the
+        ~30 ms axon RTT (tools/bench_r3_ladder.py chain mode, PERF.md)."""
+
+        def window(n):
+            x, out = xd, None
+            for _ in range(n):
+                out = fn(p, x, md)
+                x = feed_j(x, out)
+            np.asarray(out)
+
+        window(1)  # compile + sync
+        short, long = 3, 13
+        slopes = []
+        for _ in range(5):
             t0 = time.perf_counter()
-            outs = [fn(params, xd, md) for _ in range(10)]
-            for o in outs:
-                np.asarray(o)
-            times.append(time.perf_counter() - t0)
-        return BATCH_CLIPS * 10 / sorted(times)[1] / n_chips
+            window(short)
+            ts = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            window(long)
+            tl = time.perf_counter() - t0
+            slopes.append((tl - ts) / (long - short))
+        t = sorted(slopes)[len(slopes) // 2]
+        return BATCH_CLIPS / t / n_chips
 
     dev_per_chip = measure_device_only(
-        jax.jit(lambda p, x, m: model.predict(p, x, m)[0][0])
+        jax.jit(lambda p, x, m: model.predict(p, x, m)[0][0]), params
     )
 
     # opt-in W8A8 mode (op_mode.compute_int8): ~1.3x the bf16 default on the
@@ -368,7 +389,7 @@ def main():
         )
         imodel = Detector(icfg, num_frames=NUM_FRAMES)
         int8_per_chip = round(measure_device_only(
-            jax.jit(lambda p, x, m: imodel.predict(p, x, m)[0][0])
+            jax.jit(lambda p, x, m: imodel.predict(p, x, m)[0][0]), params
         ), 2)
 
     # training-step throughput (round-3 verdict #3): the reference's actual

@@ -98,17 +98,34 @@ class DataLoader:
         out: "queue.Queue" = queue.Queue(maxsize=max(2, self.num_workers))
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """bounded put that aborts on stop — never leaves the producer
+            blocked on a full queue after the consumer has gone away (a
+            blocked daemon thread can die at interpreter exit mid-way
+            through a native decode call)."""
+            while not stop.is_set():
+                try:
+                    out.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    pass
+            return False
+
         def produce():
             try:
                 for b in batches:
                     if stop.is_set():
                         break
                     items = list(pool.map(self.dataset.__getitem__, [int(i) for i in b]))
-                    out.put(("ok", self.collate_fn(items)))
+                    if not put(("ok", self.collate_fn(items))):
+                        break
             except Exception as e:  # surface worker errors to the consumer
-                out.put(("err", e))
+                put(("err", e))
             finally:
-                out.put(("done", None))
+                try:
+                    out.put_nowait(("done", None))
+                except queue.Full:
+                    pass
 
         producer = threading.Thread(target=produce, daemon=True)
         producer.start()
@@ -125,6 +142,12 @@ class DataLoader:
                         return
             finally:
                 stop.set()
+                while True:  # drain so a blocked producer can observe stop
+                    try:
+                        out.get_nowait()
+                    except queue.Empty:
+                        break
+                producer.join(timeout=5.0)
                 pool.shutdown(wait=False, cancel_futures=True)
 
         return gen()

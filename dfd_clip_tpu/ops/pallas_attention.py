@@ -29,6 +29,20 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _compiler_params():
+    """Raise Mosaic's scoped-VMEM ceiling for the fused kernels.
+
+    The default scoped limit is 16 MB of the v5e's 128 MB VMEM; the
+    whole-block kernels with phased (frame-interleaved) scheduling carry
+    ~17-30 MB of live intermediates, which the default rejects at compile
+    time ('exceeded scoped vmem limit'). 64 MB leaves half the VMEM for
+    the pipeline's double-buffered DMA windows. DFD_VMEM_LIMIT_MB overrides."""
+    import os
+
+    mb = int(os.environ.get("DFD_VMEM_LIMIT_MB", "64"))
+    return pltpu.CompilerParams(vmem_limit_bytes=mb * 1024 * 1024)
+
+
 _LOGIT_CLAMP = 60.0  # exp(60)=1.1e26, far from f32 overflow; frozen-CLIP
                      # attention logits stay well below this in practice
 
@@ -120,6 +134,7 @@ def fused_encoder_attention_qkv(qkv: jax.Array, heads: int, head_dim: int) -> ja
         ],
         out_specs=pl.BlockSpec((frames, t, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(qkv)
 
 
@@ -367,6 +382,7 @@ def fused_encoder_attn_block(
         out_specs=tuple(out_specs),
         input_output_aliases=aliases,
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(*inputs)
 
     def split_kv(kf, vf):
@@ -382,9 +398,199 @@ def fused_encoder_attn_block(
     return outs[0]
 
 
+def _make_full_block_kernel_phased(
+    heads: int, head_dim: int, frames: int, export: bool, drop_cls: bool,
+    stacked: bool = False, skip_inputs: int = 0, int8_gemm: bool = False,
+    int8_wo: bool = False, mode: str = "full",
+):
+    """Phase-major variant of the whole-block kernel (DFD_PHASE_MAJOR).
+
+    The frame-major kernel emits each frame as one long dependency chain, so
+    the VPU stages (LN, quant/dequant, softmax exp, QuickGELU — ~1.5 ms/layer
+    of vector work at flagship shapes) serialize against the MXU GEMMs.
+    Emitting stage-by-stage across ALL frames in the grid step instead gives
+    Mosaic's scheduler independent chains to interleave: frame f's GEMM can
+    run under frame f+1's LN/quant. Same math, same operands, same outputs —
+    program order is the only difference (the attention kernel's per-head
+    phase separation measured 4.4 -> 3.2 ms/layer the same way).
+
+    ``mode="full"`` phases every stage — maximal ILP, but the doubled live
+    ranges push Mosaic past the ~16 MB scoped VMEM at frames>=2 (compile
+    fails on v5e at flagship shapes). ``mode="mlp"`` keeps the attention
+    half frame-major and phases only the MLP half, where most of the vector
+    work lives (GELU + two quants + LN2 ~ 11M of the ~18M VPU ops/frame):
+    the attention intermediates are dead by then, so only the two (T, 4W)
+    f32 MLP streams coexist."""
+    w = heads * head_dim
+
+    def kernel(h_ref, *rest):
+        if int8_gemm:
+            (wqkv_ref, wqs_ref, bqkv_ref, wo_ref, wos_ref, bo_ref,
+             ln1s_ref, ln1b_ref,
+             wfc_ref, wfcs_ref, bfc_ref, wproj_ref, wprojs_ref, bproj_ref,
+             ln2s_ref, ln2b_ref, *out_refs) = rest
+        else:
+            (wqkv_ref, bqkv_ref, wo_ref, bo_ref, ln1s_ref, ln1b_ref,
+             wfc_ref, bfc_ref, wproj_ref, bproj_ref, ln2s_ref, ln2b_ref,
+             *out_refs) = rest
+            wqs_ref = wfcs_ref = wprojs_ref = wos_ref = None
+        scale = head_dim ** -0.5
+        if skip_inputs:
+            out_refs = out_refs[skip_inputs:]
+        if export:
+            ho_ref, k_ref, v_ref = out_refs[:3]
+        else:
+            ho_ref = out_refs[0]
+            k_ref = v_ref = None
+
+        def col(base, h):
+            return slice(base + h * head_dim, base + (h + 1) * head_dim)
+
+        def ln(x32, s_ref, b_ref):
+            mean = jnp.mean(x32, axis=-1, keepdims=True)
+            var = jnp.var(x32, axis=-1, keepdims=True)
+            return (x32 - mean) * jax.lax.rsqrt(var + 1e-5) * s_ref[...] + b_ref[...]
+
+        def gemm(y32, w_ref, ws_ref, b_ref):
+            if int8_gemm:
+                yq, y_s = _quant_rows(y32)
+                return _w8a8_dot(yq, y_s, w_ref, ws_ref) + b_ref[...]
+            return jax.lax.dot_general(
+                y32.astype(h_ref.dtype), w_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b_ref[...]
+
+        def oproj(attn32):
+            if int8_wo:
+                aq, a_s = _quant_rows(attn32)
+                return _w8a8_dot(aq, a_s, wo_ref, wos_ref) + bo_ref[...]
+            return jax.lax.dot_general(
+                attn32.astype(h_ref.dtype), wo_ref[...],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            ) + bo_ref[...]
+
+        def attend(f, xf):
+            """logits -> softmax -> mix -> out-proj -> residual for frame f."""
+            logits = [
+                jax.lax.dot_general(
+                    xf[:, col(0, h)], xf[:, col(w, h)],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                for h in range(heads)
+            ]
+            ps, sums = [], []
+            for l in logits:
+                p = jnp.exp(jnp.minimum(l, _LOGIT_CLAMP))
+                ps.append(p.astype(h_ref.dtype))
+                sums.append(jnp.sum(p, axis=-1, keepdims=True))
+            cols = [
+                jnp.dot(ps[h], xf[:, col(2 * w, h)],
+                        preferred_element_type=jnp.float32) / sums[h]
+                for h in range(heads)
+            ]
+            return hfs[f].astype(jnp.float32) + oproj(
+                jnp.concatenate(cols, axis=-1))
+
+        hfs = [h_ref[f] for f in range(frames)]
+        if mode == "rows":
+            # Batched-M: LN + GEMMs run on the (frames*T, ·) row-merged
+            # block — M=197 pads to 224 on the MXU (~14% waste) while
+            # M=frames*197 pads by <2%; one GEMM per stage instead of
+            # `frames`. Attention stays per-frame (the (T, T) logits don't
+            # row-merge). Same math: LN and GEMMs are per-row ops.
+            t_rows = h_ref.shape[1]
+            hall = jnp.reshape(h_ref[...], (frames * t_rows, w))
+            y = ln(hall.astype(jnp.float32), ln1s_ref, ln1b_ref)
+            xall = gemm(y, wqkv_ref, wqs_ref, bqkv_ref).astype(h_ref.dtype)
+            if k_ref is not None:
+                lo = 1 if drop_cls else 0
+                for f in range(frames):
+                    xf_kv = xall[f * t_rows + lo : (f + 1) * t_rows]
+                    if stacked:
+                        k_ref[0, f] = xf_kv[:, w : 2 * w]
+                        v_ref[0, f] = xf_kv[:, 2 * w :]
+                    else:
+                        k_ref[f] = xf_kv[:, w : 2 * w]
+                        v_ref[f] = xf_kv[:, 2 * w :]
+            hmids = [attend(f, xall[f * t_rows : (f + 1) * t_rows])
+                     for f in range(frames)]
+            hmid_all = jnp.concatenate(hmids, axis=0)  # (F*T, W) f32
+            y2 = ln(hmid_all, ln2s_ref, ln2b_ref)
+            mid = gemm(y2, wfc_ref, wfcs_ref, bfc_ref)
+            mid = mid * jax.nn.sigmoid(1.702 * mid)  # QuickGELU, f32
+            out2 = gemm(mid, wproj_ref, wprojs_ref, bproj_ref)
+            ho_ref[...] = jnp.reshape(
+                (hmid_all + out2).astype(ho_ref.dtype), (frames, t_rows, w))
+            return
+        if mode == "full":
+            # LN1 (VPU) -> qkv GEMM (MXU), frame-interleaved
+            ys = [ln(hf.astype(jnp.float32), ln1s_ref, ln1b_ref) for hf in hfs]
+            xfs = [gemm(y, wqkv_ref, wqs_ref, bqkv_ref).astype(h_ref.dtype)
+                   for y in ys]
+        else:
+            xfs = [gemm(ln(hf.astype(jnp.float32), ln1s_ref, ln1b_ref),
+                        wqkv_ref, wqs_ref, bqkv_ref).astype(h_ref.dtype)
+                   for hf in hfs]
+        if k_ref is not None:
+            lo = 1 if drop_cls else 0
+            for f, xf in enumerate(xfs):
+                if stacked:
+                    k_ref[0, f] = xf[lo:, w : 2 * w]
+                    v_ref[0, f] = xf[lo:, 2 * w :]
+                else:
+                    k_ref[f] = xf[lo:, w : 2 * w]
+                    v_ref[f] = xf[lo:, 2 * w :]
+        if mode in ("full", "attn"):
+            # attention: logits (MXU) / exp (VPU) / mix (MXU) phases span
+            # frames x heads
+            logits = [
+                [jax.lax.dot_general(
+                    xf[:, col(0, h)], xf[:, col(w, h)],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale for h in range(heads)]
+                for xf in xfs
+            ]
+            ps = [[None] * heads for _ in range(frames)]
+            sums = [[None] * heads for _ in range(frames)]
+            for f in range(frames):
+                for h in range(heads):
+                    p = jnp.exp(jnp.minimum(logits[f][h], _LOGIT_CLAMP))
+                    ps[f][h] = p.astype(h_ref.dtype)
+                    sums[f][h] = jnp.sum(p, axis=-1, keepdims=True)
+            attns = []
+            for f, xf in enumerate(xfs):
+                cols = [
+                    jnp.dot(ps[f][h], xf[:, col(2 * w, h)],
+                            preferred_element_type=jnp.float32) / sums[f][h]
+                    for h in range(heads)
+                ]
+                attns.append(jnp.concatenate(cols, axis=-1))
+            hmids = [
+                hfs[f].astype(jnp.float32) + oproj(attns[f])
+                for f in range(frames)
+            ]
+        else:
+            # frame-major attention: frame f's intermediates die before
+            # frame f+1 starts (VMEM), only hmid (T, W) f32 survives
+            hmids = [attend(f, xf) for f, xf in enumerate(xfs)]
+        # MLP half, frame-interleaved
+        y2s = [ln(hm, ln2s_ref, ln2b_ref) for hm in hmids]
+        mids = [gemm(y2, wfc_ref, wfcs_ref, bfc_ref) for y2 in y2s]
+        mids = [m * jax.nn.sigmoid(1.702 * m) for m in mids]  # QuickGELU, f32
+        for f in range(frames):
+            out2 = gemm(mids[f], wproj_ref, wprojs_ref, bproj_ref)
+            ho_ref[f] = (hmids[f] + out2).astype(ho_ref.dtype)
+
+    return kernel
+
+
 def _make_full_block_kernel(
     heads: int, head_dim: int, frames: int, export: bool, drop_cls: bool,
     stacked: bool = False, skip_inputs: int = 0, int8_gemm: bool = False,
+    int8_wo: bool = False,
 ):
     """WHOLE encoder block in one kernel: LN1 + qkv + attention + out-proj +
     residual + LN2 + c_fc + QuickGELU + c_proj + residual (+ K/V export).
@@ -400,14 +606,15 @@ def _make_full_block_kernel(
 
     def kernel(h_ref, *rest):
         if int8_gemm:
-            (wqkv_ref, wqs_ref, bqkv_ref, wo_ref, bo_ref, ln1s_ref, ln1b_ref,
+            (wqkv_ref, wqs_ref, bqkv_ref, wo_ref, wos_ref, bo_ref,
+             ln1s_ref, ln1b_ref,
              wfc_ref, wfcs_ref, bfc_ref, wproj_ref, wprojs_ref, bproj_ref,
              ln2s_ref, ln2b_ref, *out_refs) = rest
         else:
             (wqkv_ref, bqkv_ref, wo_ref, bo_ref, ln1s_ref, ln1b_ref,
              wfc_ref, bfc_ref, wproj_ref, bproj_ref, ln2s_ref, ln2b_ref,
              *out_refs) = rest
-            wqs_ref = wfcs_ref = wprojs_ref = None
+            wqs_ref = wfcs_ref = wprojs_ref = wos_ref = None
         scale = head_dim ** -0.5
         if skip_inputs:
             out_refs = out_refs[skip_inputs:]  # aliased accumulator INPUT refs
@@ -463,11 +670,15 @@ def _make_full_block_kernel(
                 o = jnp.dot(ps[h], xf[:, col(2 * w, h)],
                             preferred_element_type=jnp.float32)
                 cols.append(o / sums[h])
-            attn = jnp.concatenate(cols, axis=-1).astype(h_ref.dtype)  # (T, W)
-            out = jax.lax.dot_general(
-                attn, wo_ref[...],
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            ) + bo_ref[...]
+            attn32 = jnp.concatenate(cols, axis=-1)  # (T, W) f32
+            if int8_wo:
+                aq, a_s = _quant_rows(attn32)
+                out = _w8a8_dot(aq, a_s, wo_ref, wos_ref) + bo_ref[...]
+            else:
+                out = jax.lax.dot_general(
+                    attn32.astype(h_ref.dtype), wo_ref[...],
+                    (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                ) + bo_ref[...]
             hmid32 = hf.astype(jnp.float32) + out  # residual, f32
             # ---- MLP half, h' never leaves VMEM ----
             y2 = ln(hmid32, ln2s_ref, ln2b_ref)
@@ -541,16 +752,25 @@ def fused_encoder_block(
                                          memory_space=pltpu.VMEM)
 
     stacked = export_into is not None
+    # on the int8 path the attention out-proj GEMM also runs W8A8 by default
+    # (DFD_INT8_WO=0 keeps it bf16): +~0.1 ms/layer of int8-MXU rate on an
+    # approximate path whose drift is already gated end-to-end
+    # (tests/test_int8_e2e.py, scripts/validate_parity.py).
+    int8_wo = int8_gemm and os.environ.get("DFD_INT8_WO", "1") == "1"
     if int8_gemm:
         wqkv, wqs = quantize_weight(attn["in_proj"]["w"])
         wfc, wfcs = quantize_weight(mlp["c_fc"]["w"])
         wproj, wprojs = quantize_weight(mlp["c_proj"]["w"])
-        inputs = [h, wqkv, wqs, bqkv, wo, bo, ln1s, ln1b,
+        if int8_wo:
+            wo, wos = quantize_weight(attn["out_proj"]["w"])
+        else:
+            wos = jnp.zeros((1, w), jnp.float32)  # unused dummy
+        inputs = [h, wqkv, wqs, bqkv, wo, wos, bo, ln1s, ln1b,
                   wfc, wfcs, bfc, wproj, wprojs, bproj, ln2s, ln2b]
         in_specs = [
             blocked((frames, t, w)),
             const((w, 3 * w)), const((1, 3 * w)), const((1, 3 * w)),
-            const((w, w)), const((1, w)), const((1, w)), const((1, w)),
+            const((w, w)), const((1, w)), const((1, w)), const((1, w)), const((1, w)),
             const((w, hidden)), const((1, hidden)), const((1, hidden)),
             const((hidden, w)), const((1, w)), const((1, w)),
             const((1, w)), const((1, w)),
@@ -596,16 +816,25 @@ def fused_encoder_block(
                 out_shapes.append(jax.ShapeDtypeStruct((n, t_out, w), dt))
                 out_specs.append(blocked((frames, t_out, w)))
 
+    phase = os.environ.get("DFD_PHASE_MAJOR", "0")
+    if phase in ("1", "full", "mlp", "rows"):
+        kern = _make_full_block_kernel_phased(
+            heads, head_dim, frames, export, drop_cls, stacked=stacked,
+            skip_inputs=len(aliases), int8_gemm=int8_gemm, int8_wo=int8_wo,
+            mode="full" if phase == "1" else phase)
+    else:
+        kern = _make_full_block_kernel(
+            heads, head_dim, frames, export, drop_cls, stacked=stacked,
+            skip_inputs=len(aliases), int8_gemm=int8_gemm, int8_wo=int8_wo)
     outs = pl.pallas_call(
-        _make_full_block_kernel(heads, head_dim, frames, export, drop_cls,
-                                stacked=stacked, skip_inputs=len(aliases),
-                                int8_gemm=int8_gemm),
+        kern,
         out_shape=tuple(out_shapes),
         grid=(n // frames,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         input_output_aliases=aliases,
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(*inputs)
 
     if not export:
@@ -717,6 +946,7 @@ def fused_encoder_mlp_block(h: jax.Array, ln: dict, mlp: dict,
         in_specs=in_specs,
         out_specs=blocked,
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(*inputs)
 
 
@@ -738,5 +968,6 @@ def fused_encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Arr
         ] * 3,
         out_specs=pl.BlockSpec((frames, t, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(qf, kf, vf)
     return out.reshape(n, t, h, d)

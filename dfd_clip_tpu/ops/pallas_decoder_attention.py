@@ -42,6 +42,9 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+from .pallas_attention import _compiler_params  # noqa: E402  (shared VMEM knob)
+
+
 def _pick_tile(l: int) -> int:
     """512-row tiles (1.5 MB K+V per step, double-buffered); whole-L for
     short streams. DFD_DEC_TILE overrides for experiments."""
@@ -57,7 +60,8 @@ _NEG_BIG = -1e30  # finite stand-in for -inf in the running max (avoids
 
 def _kernel(qblk_ref, qc_ref, k_ref, v_ref, m_ref, pos_ref, *out_and_scratch,
             heads: int, head_dim: int, scale: float, l_real: int, lt: int,
-            with_pos: bool, stacked_in: bool = False, partials: bool = False):
+            with_pos: bool, stacked_in: bool = False, partials: bool = False,
+            batched: bool = True):
     """One (sample, L-tile) step.
 
     Blocks: qblk (1, HD, 2H), qc (1, 1, HD), k/v (1, Lt, HD), m (1, Lt, 1),
@@ -80,13 +84,34 @@ def _kernel(qblk_ref, qc_ref, k_ref, v_ref, m_ref, pos_ref, *out_and_scratch,
     denominator, running max — so the caller can combine shards exactly with
     psum/pmax (one-query distributed softmax, SURVEY.md §5.7).
     """
-    t = pl.program_id(1)
+    # ``batched`` grid is (L-tiles, batch) — tiles OUTER, samples inner — so
+    # the shared temporal-pos tile's block index is unchanged across the
+    # inner sweep and Mosaic fetches it once per tile instead of once per
+    # (sample, tile) (saves ~1 GB of HBM reads per flagship predict). The
+    # accumulators are then per-sample slices of (B, ·) scratch — which
+    # Mosaic only slices cleanly when the per-sample planes are full
+    # (8, 128) tiles (see fused_decoder_attention's gate); small geometries
+    # use the classic (batch, L-tiles) grid with whole-scratch accumulators.
+    if batched:
+        t, i = pl.program_id(0), pl.program_id(1)
+    else:
+        i, t = pl.program_id(0), pl.program_id(1)
     hd = heads * head_dim
     if partials:
-        o_ref, st_ref, acc, run_d, run_m = out_and_scratch
+        o_ref, st_ref, accs, run_ds, run_ms = out_and_scratch
     else:
-        o_ref, acc, run_d, run_m = out_and_scratch
+        o_ref, accs, run_ds, run_ms = out_and_scratch
         st_ref = None
+    if batched:
+        # per-sample views of (B, ·) scratch; mosaic memref_slice requires
+        # every sliced plane to be whole (8, 128) tiles — run_d/run_m carry
+        # a lane-padded head dim (hp = 128·⌈H/128⌉) for exactly this reason,
+        # and all running-stat math below runs at full hp width (padded
+        # lanes hold harmless values; no masked sub-tile stores).
+        acc, run_d, run_m = accs.at[i], run_ds.at[i], run_ms.at[i]
+    else:
+        acc, run_d, run_m = accs, run_ds, run_ms
+    hp = run_ds.shape[-1]
 
     @pl.when(t == 0)
     def _():
@@ -134,13 +159,17 @@ def _kernel(qblk_ref, qc_ref, k_ref, v_ref, m_ref, pos_ref, *out_and_scratch,
     gate = 2.0 * jax.nn.sigmoid(-l1 * scale)
     wc = jnp.where(mcol, jnp.tanh(lc) * gate, 0.0)     # (Lt, H)
 
-    # ---- softmax branch: exact online max + rescale ----
+    # ---- softmax branch: exact online max + rescale (full hp width) ----
+    pad = ((0, 0), (0, hp - heads))
     tile_max = jnp.max(jnp.where(mcol, ls, _NEG_BIG), axis=0, keepdims=True)
-    new_m = jnp.maximum(run_m[:], tile_max)                    # (1, H)
-    fac = jnp.exp(run_m[:] - new_m)                            # (1, H) ≤ 1
+    new_m = jnp.maximum(run_m[:], jnp.pad(tile_max, pad,
+                                          constant_values=_NEG_BIG))  # (1, hp)
+    fac = jnp.exp(run_m[:] - new_m)                    # (1, hp) ≤ 1; pad: 1
     run_m[:] = new_m
-    p = jnp.where(mcol, jnp.exp(ls - new_m), 0.0)              # (Lt, H)
-    run_d[:] = run_d[:] * fac + jnp.sum(p, axis=0, keepdims=True)
+    p = jnp.where(mcol, jnp.exp(ls - new_m[:, :heads]), 0.0)   # (Lt, H)
+    run_d[:] = run_d[:] * fac + jnp.pad(
+        jnp.sum(p, axis=0, keepdims=True), pad)
+    fac = fac[:, :heads]                                       # (1, H)
 
     # combined PV for BOTH branches: one (2H, Lt)x(Lt, HD) MXU issue; the
     # softmax half of the accumulator rescales by fac, the CoDA half by 1
@@ -152,16 +181,17 @@ def _kernel(qblk_ref, qc_ref, k_ref, v_ref, m_ref, pos_ref, *out_and_scratch,
         wboth, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )  # (2H, HD)
 
-    @pl.when(t == pl.num_programs(1) - 1)
+    @pl.when(t == pl.num_programs(0 if batched else 1) - 1)
     def _():
         if partials:
             # un-normalized per-shard state for the cross-shard combine
             o_s_un = jnp.sum(acc[:heads] * E, axis=0, keepdims=True)  # (1, HD)
             o_c = jnp.sum(acc[heads:] * E, axis=0, keepdims=True)
             o_ref[0] = jnp.concatenate([o_s_un, o_c], axis=0)         # (2, HD)
-            st_ref[0] = jnp.concatenate([run_d[:], run_m[:]], axis=0)  # (2, H)
+            st_ref[0] = jnp.concatenate(
+                [run_d[:, :heads], run_m[:, :heads]], axis=0)          # (2, H)
         else:
-            denom = jnp.maximum(run_d[:], 1e-30)       # fully-masked -> 0 out
+            denom = jnp.maximum(run_d[:, :heads], 1e-30)  # fully-masked -> 0 out
             # per-head normalize the softmax rows, then E-mask both halves
             # down to their own head's lane block and sum over heads
             o_s = jnp.sum(acc[:heads] * (1.0 / denom).reshape(heads, 1) * E,
@@ -218,13 +248,30 @@ def fused_decoder_attention(
         vf = v.reshape(b, l, hd)
     mf = mask.astype(jnp.int32)[..., None]  # (B, L, 1)
 
+    # tiles-outer grid + per-sample scratch slices only when every scratch
+    # plane is whole (8, 128) tiles — Mosaic rejects slicing smaller planes
+    # ("slice shape must be aligned to tiling"). Flagship (H=12, HD=768) and
+    # ViT-L (H=16, HD=1024) qualify; tiny test towers fall back to the
+    # classic samples-outer grid. DFD_DEC_BATCHED=0 forces the fallback.
+    import os
+
+    batched = (hd % 128 == 0 and (2 * h) % 8 == 0
+               and os.environ.get("DFD_DEC_BATCHED", "1") == "1")
+
+    def imap(f):
+        """wrap an index map written in (t, i) terms for the active grid
+        order: grid is (t, i) when batched else (i, t)."""
+        if batched:
+            return f
+        return lambda i, t, **kw: f(t, i, **kw)
+
     with_pos = temporal_pos is not None
     if with_pos:
         pos = jnp.broadcast_to(temporal_pos, (l, h, d)).reshape(l, hd).astype(k.dtype)
-        pos_index = lambda i, t: (t, 0)
+        pos_index = imap(lambda t, i: (t, 0))
     else:
         pos = jnp.zeros((lt, hd), k.dtype)  # unused dummy block
-        pos_index = lambda i, t: (0, 0)
+        pos_index = imap(lambda t, i: (0, 0))
 
     # block-diagonal query matrix: one matmul yields all heads' logits for
     # both activations. (B, HD, 2H), tiny (~0.6 MB bf16 at flagship shape).
@@ -237,15 +284,16 @@ def fused_decoder_attention(
     kernel = functools.partial(
         _kernel, heads=h, head_dim=d, scale=scale, l_real=l, lt=lt,
         with_pos=with_pos, stacked_in=stacked_in, partials=partials,
+        batched=batched,
     )
     if stacked_in:
         kv_spec = pl.BlockSpec(
             (1, 1, lt, hd),
-            lambda i, t, _layer=layer: (_layer, i, t, 0),
+            imap(lambda t, i, _layer=layer: (_layer, i, t, 0)),
             memory_space=pltpu.VMEM,
         )
     else:
-        kv_spec = pl.BlockSpec((1, lt, hd), lambda i, t: (i, t, 0),
+        kv_spec = pl.BlockSpec((1, lt, hd), imap(lambda t, i: (i, t, 0)),
                                memory_space=pltpu.VMEM)
     if partials:
         out_shape = (
@@ -253,32 +301,36 @@ def fused_decoder_attention(
             jax.ShapeDtypeStruct((b, 2, h), jnp.float32),
         )
         out_specs = (
-            pl.BlockSpec((1, 2, hd), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, h), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, hd), imap(lambda t, i: (i, 0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, h), imap(lambda t, i: (i, 0, 0)), memory_space=pltpu.VMEM),
         )
     else:
         out_shape = jax.ShapeDtypeStruct((b, 1, hd), v.dtype)
-        out_specs = pl.BlockSpec((1, 1, hd), lambda i, t: (i, 0, 0),
+        out_specs = pl.BlockSpec((1, 1, hd), imap(lambda t, i: (i, 0, 0)),
                                  memory_space=pltpu.VMEM)
+    hp = -(-h // 128) * 128   # lane-padded head dim for the running stats
+    acc_shape = (b, 2 * h, hd) if batched else (2 * h, hd)
+    run_shape = (b, 1, hp) if batched else (1, hp)
     out = pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        grid=(b, n_tiles),
+        grid=(n_tiles, b) if batched else (b, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, hd, 2 * h), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hd), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd, 2 * h), imap(lambda t, i: (i, 0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hd), imap(lambda t, i: (i, 0, 0)), memory_space=pltpu.VMEM),
             kv_spec,
             kv_spec,
-            pl.BlockSpec((1, lt, 1), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lt, 1), imap(lambda t, i: (i, t, 0)), memory_space=pltpu.VMEM),
             pl.BlockSpec((lt, hd), pos_index, memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2 * h, hd), jnp.float32),
-            pltpu.VMEM((1, h), jnp.float32),   # run_d
-            pltpu.VMEM((1, h), jnp.float32),   # run_m
+            pltpu.VMEM(acc_shape, jnp.float32),
+            pltpu.VMEM(run_shape, jnp.float32),   # run_d
+            pltpu.VMEM(run_shape, jnp.float32),   # run_m
         ],
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(qblk, qc_row, kf, vf, mf, pos)
     if partials:
         return out

@@ -41,6 +41,9 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+from .pallas_attention import _compiler_params  # noqa: E402  (shared VMEM knob)
+
+
 def _boundary_kernel(*refs, has_tail: bool, has_query: bool, width: int,
                      hidden: int):
     """Single grid step over the full (B, ·) operands.
@@ -172,6 +175,7 @@ def decoder_boundary(
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(*inputs)
     outs = list(outs) if isinstance(outs, (tuple, list)) else [outs]
     x_out = outs.pop(0) if has_tail else None

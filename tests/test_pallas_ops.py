@@ -239,6 +239,39 @@ def test_clip_vision_kv_full_block_matches_xla(rng, monkeypatch, stacked, int8):
         )
 
 
+@pytest.mark.parametrize("phase", ["full", "mlp", "attn", "rows"])
+def test_clip_vision_kv_phase_major_matches_xla(rng, monkeypatch, phase):
+    """DFD_PHASE_MAJOR variants of the whole-block kernel (stage-interleaved
+    program order for Mosaic ILP — see _make_full_block_kernel_phased) must
+    be numerically identical to the XLA composition; only scheduling
+    differs."""
+    from dfd_clip_tpu.models.clip_vit import ARCHITECTURES, clip_vision_kv, init_clip_vision
+
+    cfg = ARCHITECTURES["ViT-Test"]
+    params = init_clip_vision(jax.random.key(3), cfg)
+    x = jnp.asarray(
+        rng.standard_normal((2, 3, cfg.input_resolution, cfg.input_resolution)),
+        jnp.float32,
+    )
+    keep = (0, 2)
+
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "xla")
+    want = clip_vision_kv(params, x, cfg, compute_dtype=jnp.float32,
+                          keep_layers=keep, drop_cls=True, compute_int8=True)
+
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "pallas")
+    monkeypatch.setenv("DFD_FUSED_BLOCK", "full")
+    monkeypatch.setenv("DFD_PHASE_MAJOR", phase)
+    got = clip_vision_kv(params, x, cfg, compute_dtype=jnp.float32,
+                         keep_layers=keep, drop_cls=True, compute_int8=True)
+
+    for name in ("k", "v"):
+        assert got[name].shape == want[name].shape
+        np.testing.assert_allclose(
+            np.asarray(got[name]), np.asarray(want[name]), rtol=5e-2, atol=5e-2
+        )
+
+
 def test_clip_vision_kv_wide_tower_int8_fused(rng, monkeypatch):
     """w=1024 towers (ViT-L class) keep the fused blocks on the int8 path —
     int8 weights fit scoped VMEM where bf16 doesn't (clip_vit gate)."""

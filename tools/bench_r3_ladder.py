@@ -62,6 +62,54 @@ LADDERS = {
          {"DFD_FUSED_BLOCK": "full", "DFD_DEC_STACK": "1",
           "DFD_FRESH_ACC": "1", "DFD_DEC_TILE": "2048"}, 1),
     ],
+    "phase": [
+        ("int8 full + fresh (frame-major)",
+         {"DFD_FUSED_BLOCK": "full", "DFD_DEC_STACK": "1",
+          "DFD_FRESH_ACC": "1"}, 1),
+        ("int8 full + fresh + PHASE_MAJOR",
+         {"DFD_FUSED_BLOCK": "full", "DFD_DEC_STACK": "1",
+          "DFD_FRESH_ACC": "1", "DFD_PHASE_MAJOR": "1"}, 1),
+        ("int8 full + fresh + PHASE_MAJOR bf=4",
+         {"DFD_FUSED_BLOCK": "full", "DFD_DEC_STACK": "1",
+          "DFD_FRESH_ACC": "1", "DFD_PHASE_MAJOR": "1",
+          "DFD_BLOCK_FRAMES": "4"}, 1),
+        ("int8 full + fresh + PHASE_MAJOR bf=1",
+         {"DFD_FUSED_BLOCK": "full", "DFD_DEC_STACK": "1",
+          "DFD_FRESH_ACC": "1", "DFD_PHASE_MAJOR": "1",
+          "DFD_BLOCK_FRAMES": "1"}, 1),
+    ],
+    "phase2": [
+        ("int8 full + fresh + PHASE=mlp bf=2",
+         {"DFD_FUSED_BLOCK": "full", "DFD_DEC_STACK": "1",
+          "DFD_FRESH_ACC": "1", "DFD_PHASE_MAJOR": "mlp"}, 1),
+        ("int8 full + fresh + PHASE=mlp bf=4",
+         {"DFD_FUSED_BLOCK": "full", "DFD_DEC_STACK": "1",
+          "DFD_FRESH_ACC": "1", "DFD_PHASE_MAJOR": "mlp",
+          "DFD_BLOCK_FRAMES": "4"}, 1),
+        ("int8 full + fresh (control)",
+         {"DFD_FUSED_BLOCK": "full", "DFD_DEC_STACK": "1",
+          "DFD_FRESH_ACC": "1"}, 1),
+    ],
+    "attn": [
+        ("int8 full + fresh + PHASE=attn bf=2",
+         {"DFD_FUSED_BLOCK": "full", "DFD_DEC_STACK": "1",
+          "DFD_FRESH_ACC": "1", "DFD_PHASE_MAJOR": "attn"}, 1),
+        ("int8 full + fresh + PHASE=mlp bf=2 (ctl)",
+         {"DFD_FUSED_BLOCK": "full", "DFD_DEC_STACK": "1",
+          "DFD_FRESH_ACC": "1", "DFD_PHASE_MAJOR": "mlp"}, 1),
+    ],
+    "rows": [
+        ("int8 full + fresh + ROWS bf=2",
+         {"DFD_FUSED_BLOCK": "full", "DFD_DEC_STACK": "1",
+          "DFD_FRESH_ACC": "1", "DFD_PHASE_MAJOR": "rows"}, 1),
+        ("int8 full + fresh + ROWS bf=4",
+         {"DFD_FUSED_BLOCK": "full", "DFD_DEC_STACK": "1",
+          "DFD_FRESH_ACC": "1", "DFD_PHASE_MAJOR": "rows",
+          "DFD_BLOCK_FRAMES": "4"}, 1),
+        ("int8 full + fresh + PHASE=mlp bf=2 (ctl)",
+         {"DFD_FUSED_BLOCK": "full", "DFD_DEC_STACK": "1",
+          "DFD_FRESH_ACC": "1", "DFD_PHASE_MAJOR": "mlp"}, 1),
+    ],
     "bf16": [
         ("bf16 split, no dec-stack (r2 cfg)",
          {"DFD_FUSED_BLOCK": "split", "DFD_DEC_STACK": "0"}, 0),
@@ -78,7 +126,31 @@ LADDERS = {
 
 KNOB_KEYS = ["DFD_FUSED_BLOCK", "DFD_DEC_STACK", "DFD_FRESH_ACC",
              "DFD_BLOCK_FRAMES", "DFD_FUSED_FRAMES", "DFD_MLP_FRAMES",
-             "DFD_DEC_TILE", "DFD_STACKED_EXPORT", "DFD_FUSED_MLP"]
+             "DFD_DEC_TILE", "DFD_STACKED_EXPORT", "DFD_FUSED_MLP",
+             "DFD_PHASE_MAJOR", "DFD_INT8_WO", "DFD_DEC_BATCHED",
+             "DFD_VMEM_LIMIT_MB"]
+
+# round-3b: the int8-wo / batched-decoder-grid / VMEM-raise knob set, timed
+# with the chained-slope method (chain_ladder below)
+_R3B_BASE = {"DFD_FUSED_BLOCK": "full", "DFD_DEC_STACK": "1",
+             "DFD_FRESH_ACC": "1", "DFD_PHASE_MAJOR": "mlp"}
+LADDERS["r3b"] = [
+    ("A mlp-phase ctl (wo=bf16, dec=old)",
+     {**_R3B_BASE, "DFD_INT8_WO": "0", "DFD_DEC_BATCHED": "0"}, 1),
+    ("B +INT8_WO",
+     {**_R3B_BASE, "DFD_INT8_WO": "1", "DFD_DEC_BATCHED": "0"}, 1),
+    ("C +DEC_BATCHED (tiles-outer grid)",
+     {**_R3B_BASE, "DFD_INT8_WO": "1", "DFD_DEC_BATCHED": "1"}, 1),
+    ("D +bf=4 (needs VMEM raise)",
+     {**_R3B_BASE, "DFD_INT8_WO": "1", "DFD_DEC_BATCHED": "1",
+      "DFD_BLOCK_FRAMES": "4"}, 1),
+    ("E full-phase bf=2 (needs VMEM raise)",
+     {**_R3B_BASE, "DFD_INT8_WO": "1", "DFD_DEC_BATCHED": "1",
+      "DFD_PHASE_MAJOR": "1"}, 1),
+    ("F frame-major ctl (prev best)",
+     {"DFD_FUSED_BLOCK": "full", "DFD_DEC_STACK": "1", "DFD_FRESH_ACC": "1",
+      "DFD_INT8_WO": "0", "DFD_DEC_BATCHED": "0"}, 1),
+]
 
 
 def build(compute_int8: int):
@@ -263,7 +335,128 @@ def chain(int8: int, knobs: dict | None = None):
           flush=True)
 
 
+def layers(int8: int = 1):
+    """Isolate embed vs per-layer cost: chain-time encode_kv with the
+    encoder truncated at different depths (decode_indices sets `last`)."""
+    import jax.numpy as jnp
+
+    from dfd_clip_tpu.models.detector import Detector
+
+    os.environ.update({"DFD_FUSED_BLOCK": "full" if int8 else "split",
+                       "DFD_FRESH_ACC": "1" if int8 else "0"})
+    rng0 = np.random.default_rng(0)
+    xd = jax.device_put(rng0.integers(0, 255, (BATCH, FRAMES, 3, RES, RES), np.uint8))
+    md = jax.device_put(np.ones((BATCH, FRAMES), bool))
+
+    def feed(x, out):
+        z = (jnp.sum(out.astype(jnp.float32)) * 0).astype(jnp.uint8)
+        return x + z
+
+    feed_j = jax.jit(feed)
+
+    def build_depth(idx):
+        cfg = Detector.get_default_config()
+        cfg.merge_from_other_cfg(
+            {"decode_mode": "index", "decode_indices": list(idx),
+             "out_dim": [2], "losses": ["auc_roc"],
+             "op_mode": {"temporal_position": 1, "compute_int8": int8}})
+        return Detector(cfg, num_frames=FRAMES)
+
+    def timeit(tag, model, short=3, long=13, reps=5):
+        params = model.init_params(jax.random.key(0))
+
+        @jax.jit
+        def enc(p, x, m):
+            kvs = model.encode_kv(p, model.preprocess(x))
+            return (kvs["k"].astype(jnp.float32).sum()
+                    + kvs["v"].astype(jnp.float32).sum())[None]
+
+        def window(n):
+            x = xd
+            out = None
+            for _ in range(n):
+                out = enc(params, x, md)
+                x = feed_j(x, out)
+            np.asarray(out)
+
+        window(1)
+        slopes = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            window(short)
+            ts = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            window(long)
+            tl = time.perf_counter() - t0
+            slopes.append((tl - ts) / (long - short))
+        t = sorted(slopes)[len(slopes) // 2]
+        print(f"{tag:42s} {t * 1e3:8.2f} ms", flush=True)
+        return t
+
+    t1 = timeit("encode_kv depth-1  (layers 0..0, keep 1)", build_depth([0]))
+    t6 = timeit("encode_kv depth-6  (layers 0..5, keep 6)", build_depth(range(6)))
+    t12 = timeit("encode_kv depth-12 (layers 6..11, keep 6)", build_depth(range(6, 12)))
+    per_layer = (t12 - t6) / 6
+    print(f"{'-> per-layer (d12 - d6)/6':42s} {per_layer * 1e3:8.2f} ms", flush=True)
+    print(f"{'-> embed+pre (d1 - 1 layer)':42s} {(t1 - per_layer) * 1e3:8.2f} ms",
+          flush=True)
+
+
+def chain_ladder(ladder):
+    """Per-rung chained-slope timing (the chain() method, predict only) —
+    RTT-immune, so rungs are comparable even across tunnel drift."""
+    import jax.numpy as jnp
+
+    print(f"backend={jax.default_backend()} batch={BATCH}x{FRAMES}f "
+          f"chainladder", flush=True)
+    rng0 = np.random.default_rng(0)
+    xd = jax.device_put(rng0.integers(0, 255, (BATCH, FRAMES, 3, RES, RES), np.uint8))
+    md = jax.device_put(np.ones((BATCH, FRAMES), bool))
+    feed_j = jax.jit(
+        lambda x, out: x + (jnp.sum(out.astype(jnp.float32)) * 0).astype(x.dtype))
+
+    for tag, knobs, int8 in ladder:
+        for k in KNOB_KEYS:
+            os.environ.pop(k, None)
+        os.environ.update(knobs)
+        model = build(int8)
+        params = model.init_params(jax.random.key(0))
+        fn = jax.jit(lambda p, x, m: model.predict(p, x, m)[0][0])
+
+        def window(n):
+            x, out = xd, None
+            for _ in range(n):
+                out = fn(params, x, md)
+                x = feed_j(x, out)
+            np.asarray(out)
+
+        try:
+            window(1)  # compile + sync
+        except Exception as e:
+            print(f"{tag:42s} FAILED: {type(e).__name__}: {str(e)[:140]}",
+                  flush=True)
+            continue
+        short, long = 3, 13
+        slopes = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            window(short)
+            ts = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            window(long)
+            tl = time.perf_counter() - t0
+            slopes.append((tl - ts) / (long - short))
+        t = sorted(slopes)[len(slopes) // 2]
+        print(f"{tag:42s} {t * 1e3:8.2f} ms/batch  {BATCH / t:7.1f} clips/s",
+              flush=True)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "layers":
+        print(f"backend={jax.default_backend()} batch={BATCH}x{FRAMES}f layers",
+              flush=True)
+        layers(int8=1 if len(sys.argv) < 3 or sys.argv[2] != "bf16" else 0)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "chain":
         print(f"backend={jax.default_backend()} batch={BATCH}x{FRAMES}f chain",
               flush=True)
@@ -277,6 +470,9 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "components":
         print(f"backend={jax.default_backend()} batch={BATCH}x{FRAMES}f", flush=True)
         components(int8=1)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "chainladder":
+        chain_ladder(LADDERS[sys.argv[2] if len(sys.argv) > 2 else "r3b"])
         return
     ladder = LADDERS[sys.argv[1] if len(sys.argv) > 1 else "int8"]
     print(f"backend={jax.default_backend()} batch={BATCH}x{FRAMES}f", flush=True)
