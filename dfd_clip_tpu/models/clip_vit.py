@@ -160,6 +160,16 @@ def embed_patches(params: Params, x: jax.Array, cfg: ViTConfig,
     return x
 
 
+def _quant_kv_rows_xla(f: jax.Array):
+    """(N, T', H, D) -> (int8, (N, T', 1) f32 scale); the XLA composition of
+    ops.pallas_attention._quant_kv_rows (dequant = q · s)."""
+    n_, t_ = f.shape[:2]
+    r32 = f.reshape(n_, t_, -1).astype(jnp.float32)
+    s = jnp.max(jnp.abs(r32), axis=-1, keepdims=True) * (1.0 / 127.0) + 1e-30
+    q = jnp.clip(jnp.round(r32 / s), -127.0, 127.0).astype(jnp.int8)
+    return q.reshape(f.shape), s
+
+
 def clip_vision_kv(
     params: Params,
     x: jax.Array,
@@ -169,6 +179,7 @@ def clip_vision_kv(
     kv_int8: bool = False,
     drop_cls: bool = False,
     compute_int8: bool = False,
+    kv_int8_rows: bool = False,
 ) -> Dict[str, jax.Array]:
     """Run the frozen tower, exporting per-layer head-split K and V.
 
@@ -188,9 +199,17 @@ def clip_vision_kv(
     (L, H)) — halving the K/V HBM footprint again vs bf16 for capacity
     (bigger batches / ViT-L); the Detector dequantizes at the consumer.
 
+    With ``kv_int8_rows`` (op_mode kv_dtype="int8_rows") K/V are instead
+    quantized PER ROW ((frame, token) over the W lanes) at the export site
+    and stay int8 all the way into the decoder kernel, which dequantizes
+    per tile in VMEM — halving both the encoder's export writes and every
+    decoder block's K/V reads (~1.9 ms each at flagship shapes). Returns
+    extra "k_scale"/"v_scale" (Lsel, N, T', 1) f32 with dequant = q · s.
+
     K/V are the raw in-projection outputs before attention/out-proj — the
     exact export point of /root/reference/src/clip/model.py:185-199.
     """
+    assert not (kv_int8 and kv_int8_rows), "pick one K/V quantization mode"
     h = embed_patches(params, x, cfg, compute_dtype)
     n, t = h.shape[0], h.shape[1]
     w = cfg.width
@@ -227,6 +246,10 @@ def clip_vision_kv(
 
     stacked_export = (fused and not kv_int8
                       and _os.environ.get("DFD_STACKED_EXPORT", "1") != "0")
+    # rows8 quantization happens inside the export kernels, so the stacked
+    # in-place path applies; the big k/v accumulators carry int8 and the
+    # tiny per-layer scale outputs are stacked by this caller.
+    rows8 = kv_int8_rows
     # Whole-block fusion (attention + MLP in ONE kernel, ops/pallas_attention.
     # fused_encoder_block): removes the intermediate residual stream's HBM
     # round-trip per layer. All four GEMM weight sets must be VMEM-resident at
@@ -256,9 +279,11 @@ def clip_vision_kv(
         # skipping this pass — A/B it per kernel config (the fresh form's
         # Mosaic VMEM accounting differs, see the round-2 note above).
         tt = t - 1 if drop_cls else t
-        kacc = jnp.zeros((nsel, n, tt, w), h.dtype)
-        vacc = jnp.zeros((nsel, n, tt, w), h.dtype)
+        kv_dt = jnp.int8 if rows8 else h.dtype
+        kacc = jnp.zeros((nsel, n, tt, w), kv_dt)
+        vacc = jnp.zeros((nsel, n, tt, w), kv_dt)
     collected: Dict[int, tuple] = {}
+    scales: Dict[int, tuple] = {}
     for i in range(last + 1):
         bp = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
         k = v = None
@@ -280,8 +305,11 @@ def clip_vision_kv(
                 out = fused_encoder_attn_block(
                     h, bp["ln_1"], bp["attn"], cfg.heads, cfg.head_dim,
                     drop_cls=drop_cls, last_only=True, export_into=into,
-                    int8_gemm=compute_int8,
+                    int8_gemm=compute_int8, kv_rows8=rows8,
                 )
+                if rows8:
+                    scales[i] = out[2:4]
+                    out = out[:2]
                 if stacked_export:
                     kacc, vacc = out
                 else:
@@ -292,9 +320,12 @@ def clip_vision_kv(
                     h, bp["ln_1"], bp["attn"], bp["ln_2"], bp["mlp"],
                     cfg.heads, cfg.head_dim,
                     export=i in keep, drop_cls=drop_cls, export_into=into,
-                    int8_gemm=compute_int8,
+                    int8_gemm=compute_int8, kv_rows8=rows8,
                 )
                 if i in keep:
+                    if rows8:
+                        scales[i] = out[3:5]
+                        out = out[:3]
                     if stacked_export:
                         h, kacc, vacc = out
                     else:
@@ -305,8 +336,11 @@ def clip_vision_kv(
                 out = fused_encoder_attn_block(
                     h, bp["ln_1"], bp["attn"], cfg.heads, cfg.head_dim,
                     export=True, drop_cls=drop_cls, export_into=into,
-                    int8_gemm=compute_int8,
+                    int8_gemm=compute_int8, kv_rows8=rows8,
                 )
+                if rows8:
+                    scales[i] = out[3:5]
+                    out = out[:3]
                 if stacked_export:
                     h, kacc, vacc = out
                 else:
@@ -334,6 +368,14 @@ def clip_vision_kv(
         if k is not None:
             if kv_int8:
                 collected[i] = quantize(k) + quantize(v)  # (kq, ks, vq, vs)
+            elif rows8 and not fused:
+                # XLA composition of the kernels' per-row export quant
+                kq, ks = _quant_kv_rows_xla(k)
+                vq, vs = _quant_kv_rows_xla(v)
+                collected[i] = (kq, vq)
+                scales[i] = (ks, vs)
+            elif rows8:
+                collected[i] = (k, v)  # already int8 from the kernel
             else:
                 collected[i] = (k.astype(compute_dtype), v.astype(compute_dtype))
         if i < last:
@@ -368,6 +410,21 @@ def clip_vision_kv(
             "v": jnp.stack([collected[i][2] for i in keep]),
             "v_scale": jnp.stack([collected[i][3] for i in keep]),
         }
+    if rows8:
+        out = (
+            {
+                "k": kacc.reshape(nsel, n, -1, cfg.heads, cfg.head_dim),
+                "v": vacc.reshape(nsel, n, -1, cfg.heads, cfg.head_dim),
+            }
+            if stacked_export
+            else {
+                "k": jnp.stack([collected[i][0] for i in keep]),
+                "v": jnp.stack([collected[i][1] for i in keep]),
+            }
+        )
+        out["k_scale"] = jnp.stack([scales[i][0] for i in keep])
+        out["v_scale"] = jnp.stack([scales[i][1] for i in keep])
+        return out
     if stacked_export:
         tt = t - 1 if drop_cls else t
         return {

@@ -160,6 +160,13 @@ def apply_decoder(
     k_all, v_all = kvs["k"], kvs["v"]
     nsel, b, t, p, h, d = k_all.shape
     assert nsel == cfg.num_blocks
+    # op_mode.kv_dtype="int8_rows": K/V arrive quantized with per-row scales;
+    # the Pallas kernel dequantizes per tile in VMEM, the XLA path at the
+    # slot slice. Compute dtype for queries/residual comes from the scales'
+    # presence, not k_all.dtype (int8).
+    ks_all = kvs.get("k_scale")
+    vs_all = kvs.get("v_scale")
+    cd = jnp.bfloat16 if k_all.dtype == jnp.int8 else k_all.dtype
 
     # Shared temporal positional embedding for both K and V (same embedding
     # for every patch of a frame), sliced to the actual frame count:
@@ -175,6 +182,9 @@ def apply_decoder(
     # Flatten (T, P) -> L tokens; expand frame mask to token mask.
     k_all = k_all.reshape(nsel, b, t * p, h, d)
     v_all = v_all.reshape(nsel, b, t * p, h, d)
+    if ks_all is not None:
+        ks_all = ks_all.reshape(nsel, b, t * p, 1)
+        vs_all = vs_all.reshape(nsel, b, t * p, 1)
     token_mask = jnp.repeat(m, p, axis=-1)  # (B, T*P)
 
     def next_rng():
@@ -185,7 +195,7 @@ def apply_decoder(
         return sub
 
     x = jnp.broadcast_to(
-        params["class_embedding"].astype(k_all.dtype), (b, 1, cfg.width)
+        params["class_embedding"].astype(cd), (b, 1, cfg.width)
     )
     x = layers.layer_norm(params["ln_pre"], x)
     x = layers.dropout(x, cfg.dropout, next_rng(), train)
@@ -227,6 +237,7 @@ def apply_decoder(
                 q_smax, q_coda, k_all, v_all, token_mask,
                 num_frames=t, attn_mode=cfg.attn_mode, temporal_pos=pos_tok,
                 layer=i, differentiable=False,
+                k_scale=ks_all, v_scale=vs_all,
             )
             nxt = qp(blocks[i + 1]) if i + 1 < len(blocks) else None
             x2d, qrow = decoder_boundary(
@@ -248,6 +259,7 @@ def apply_decoder(
                 q_smax, q_coda, k_all, v_all, token_mask,
                 num_frames=t, attn_mode=cfg.attn_mode, temporal_pos=pos_tok,
                 layer=i, differentiable=train,
+                k_scale=ks_all, v_scale=vs_all,
             )
             attn_out = layers.linear(blk["attn"]["out_proj"], attn_out.reshape(b, -1, cfg.width))
             x = x + attn_out

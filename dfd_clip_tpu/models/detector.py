@@ -266,17 +266,29 @@ class Detector:
             and self.op_mode.get("kv_dtype", "auto") == "int8"
         )
 
+    def _kv_rows8(self) -> bool:
+        """op_mode.kv_dtype="int8_rows": per-row int8 K/V that stays
+        quantized into the decoder (kernel dequantizes per tile) — halves
+        K/V HBM traffic on both the export and read sides, unlike "int8"
+        which dequantizes at the consumer (capacity only)."""
+        return (
+            self.foundation in ("clip", "farl")
+            and self.op_mode.get("kv_dtype", "auto") == "int8_rows"
+        )
+
     def _tower_kv(self, enc_params: Params, frames: jax.Array) -> Dict[str, jax.Array]:
         """Frozen tower on a flat frame batch: (N,3,H,W) -> (Lsel,N,P,H,D)."""
         if self.foundation in ("clip", "farl"):
             # only the kept layers' K/V are materialized (scatter-in-scan);
             # op_mode.kv_dtype=int8 stores them quantized for capacity
             kv_int8 = self._kv_int8()
+            rows8 = self._kv_rows8()
             kvs = clip_vit.clip_vision_kv(
                 enc_params, frames, self.vit_cfg, self.compute_dtype,
                 keep_layers=tuple(self.layer_indices), kv_int8=kv_int8,
                 drop_cls=True,
                 compute_int8=bool(self.op_mode.get("compute_int8", 0)),
+                kv_int8_rows=rows8,
             )
             if kv_int8:
                 kvs = {
@@ -285,6 +297,9 @@ class Detector:
                        ).astype(self.compute_dtype)
                     for s in ("k", "v")
                 }
+            if rows8:
+                # keep K/V quantized: scales ride along to the decoder
+                return dict(kvs)
         else:
             from . import dinov2_vit
 
@@ -293,6 +308,17 @@ class Detector:
                 keep_layers=tuple(self.layer_indices), drop_cls=True,
             )
         return {s: kvs[s] for s in ("k", "v")}
+
+    def _dequant_kvs(self, kvs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        """Materialize float K/V from the int8_rows form (fallback for
+        consumers that need float features: adapters, spmd)."""
+        if "k_scale" not in kvs:
+            return kvs
+        return {
+            s: (kvs[s].astype(jnp.float32) * kvs[f"{s}_scale"][..., None]
+                ).astype(self.compute_dtype)
+            for s in ("k", "v")
+        }
 
     def encode_kv(self, params: Params, x: jax.Array) -> Dict[str, jax.Array]:
         """Frozen-encoder K/V: (B,T,3,H,W) -> {"k","v"}: (Lsel,B,T,P,H,D)."""
@@ -304,20 +330,23 @@ class Detector:
         # encoder is embarrassingly parallel over batch x frames). kv_int8 is
         # excluded — its per-(layer, head) absmax scales must see the global
         # batch.
-        mesh = None if self._kv_int8() else spmd.spmd_pallas_mesh()
+        mesh = (None if self._kv_int8() or self._kv_rows8()
+                else spmd.spmd_pallas_mesh())
         if mesh is not None and spmd.encoder_shapes_ok(b, t, mesh):
             kvs = spmd.spmd_encoder_kv(self._tower_kv, params["encoder"], x, mesh)
             return {s: jax.lax.stop_gradient(kvs[s]) for s in ("k", "v")}
         frames = x.reshape((b * t,) + x.shape[2:])
         kvs = self._tower_kv(params["encoder"], frames)
         out = {}
-        for s in ("k", "v"):
+        for s, feats in kvs.items():
             # CLS is dropped at the export site (drop_cls=True above), so the
             # tower's stack write already has the final (Lsel, N, P, H, D)
             # layout and this is a free reshape, not a full-stream copy.
-            feats = kvs[s]
-            nsel, _, p, h, d = feats.shape
-            out[s] = jax.lax.stop_gradient(feats.reshape(nsel, b, t, p, h, d))
+            # "*_scale" entries (int8_rows) are (Lsel, N, P, 1) and reshape
+            # the same way.
+            nsel, _, p = feats.shape[:3]
+            out[s] = jax.lax.stop_gradient(
+                feats.reshape((nsel, b, t, p) + feats.shape[3:]))
         return out
 
     def predict(
@@ -338,14 +367,16 @@ class Detector:
 
         if patch_indices is not None:
             # (Lsel, num_select) gather on the patch axis (src/models.py:511-544).
+            # int8_rows scales (Lsel, B, T, P, 1) gather identically.
             kvs = {
                 s: jax.vmap(lambda f, ix: jnp.take(f, ix, axis=2))(
-                    kvs[s], patch_indices
+                    feats, patch_indices
                 )
-                for s in ("k", "v")
+                for s, feats in kvs.items()
             }
 
         if self.adapter_cfg is not None:
+            kvs = self._dequant_kvs(kvs)  # adapters consume float K/V
             sub = None if rng is None else jax.random.fold_in(rng, 1)
             kvs = adapter_lib.apply_adapter(
                 params["adapter"], kvs, self.adapter_cfg, train=train, rng=sub

@@ -32,6 +32,8 @@ def dual_activation_attention(
     temporal_pos: jax.Array | None = None,
     layer: int | None = None,
     differentiable: bool = False,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
 ) -> jax.Array:
     """Compute ((softmax + CoDA)/2) attention.
 
@@ -50,6 +52,10 @@ def dual_activation_attention(
         BOTH K and V before attention (decoder semantics, src/models.py:326-
         330). Passing it here instead of pre-adding lets the Pallas path add
         it in-VMEM without materializing pos-added K/V copies.
+      k_scale/v_scale: per-row dequant scales for int8_rows K/V ((B, L, 1)
+        f32, or (Lsel, B, L, 1) stacked with ``layer``); dequant = q · s.
+        The Pallas kernel dequantizes per tile in VMEM; the XLA path at the
+        slot slice.
 
     Returns: (B, Q, H, D).
     """
@@ -65,6 +71,7 @@ def dual_activation_attention(
         not differentiable
         and not attn_mode
         and q_smax.shape[1] == 1
+        and k_scale is None  # spmd combine not yet plumbed for int8_rows
         and os.environ.get("DFD_ATTENTION_BACKEND", "auto") != "xla"
     ):
         from . import spmd
@@ -100,10 +107,17 @@ def dual_activation_attention(
         from .pallas_decoder_attention import fused_decoder_attention
 
         return fused_decoder_attention(q_smax, q_coda, k, v, mask,
-                                       temporal_pos, layer=layer)
+                                       temporal_pos, layer=layer,
+                                       k_scale=k_scale, v_scale=v_scale)
     if layer is not None:
         k = k[layer]
         v = v[layer]
+        if k_scale is not None:
+            k_scale, v_scale = k_scale[layer], v_scale[layer]
+    if k_scale is not None:
+        # int8_rows dequant (XLA path): (B, L, 1) scale broadcast over (H, D)
+        k = (k.astype(jnp.float32) * k_scale[..., None]).astype(q_smax.dtype)
+        v = (v.astype(jnp.float32) * v_scale[..., None]).astype(q_smax.dtype)
 
     d = q_smax.shape[-1]
     scale = d ** -0.5

@@ -163,10 +163,44 @@ def quantize_weight(w):
     return jnp.round(w / s * 127.0).astype(jnp.int8), s
 
 
+def _quant_kv_rows(rows):
+    """(T', W) -> (int8 values, (T', 1) f32 scale); dequant = q · s.
+
+    Row-wise absmax quantization for the int8 K/V export (op_mode
+    kv_dtype="int8_rows"): halves the K/V HBM footprint END TO END — the
+    encoder writes half the bytes and every decoder block reads half the
+    bytes — unlike the per-(layer, head) kv_int8 capacity mode, which
+    dequantizes at the consumer and rematerializes bf16 K/V."""
+    r32 = rows.astype(jnp.float32)
+    s = jnp.max(jnp.abs(r32), axis=-1, keepdims=True) * (1.0 / 127.0) + 1e-30
+    q = jnp.clip(jnp.round(r32 / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
+
+
+def _write_kv_export(refs, f, xf, w, drop_cls, stacked):
+    """Write frame f's K/V rows (and scales on the int8_rows path) from the
+    packed qkv stream xf (T, 3W). refs = (k, v, ks, vs); ks/vs None on the
+    bf16 path."""
+    k_ref, v_ref, ks_ref, vs_ref = refs
+    lo = 1 if drop_cls else 0
+    krows, vrows = xf[lo:, w : 2 * w], xf[lo:, 2 * w :]
+    if ks_ref is not None:
+        krows, ks = _quant_kv_rows(krows)
+        vrows, vs = _quant_kv_rows(vrows)
+        ks_ref[f] = ks
+        vs_ref[f] = vs
+    if stacked:
+        k_ref[0, f] = krows
+        v_ref[0, f] = vrows
+    else:
+        k_ref[f] = krows
+        v_ref[f] = vrows
+
+
 def _make_attn_block_kernel(
     heads: int, head_dim: int, frames: int, export: bool, drop_cls: bool,
     last_only: bool, stacked: bool = False, skip_inputs: int = 0,
-    int8_gemm: bool = False,
+    int8_gemm: bool = False, kv_rows8: bool = False,
 ):
     """Fused encoder block front half: LN1 + qkv GEMM + attention + out-proj
     + residual, with optional in-VMEM K/V export.
@@ -190,11 +224,16 @@ def _make_attn_block_kernel(
         scale = head_dim ** -0.5
         if skip_inputs:
             out_refs = out_refs[skip_inputs:]  # aliased accumulator INPUT refs
+        ks_ref = vs_ref = None
         if last_only:
             k_ref, v_ref = out_refs[:2]
             ho_ref = None
+            if kv_rows8:
+                ks_ref, vs_ref = out_refs[2:4]
         elif export:
             ho_ref, k_ref, v_ref = out_refs[:3]
+            if kv_rows8:
+                ks_ref, vs_ref = out_refs[3:5]
         else:
             ho_ref = out_refs[0]
             k_ref = v_ref = None
@@ -224,13 +263,8 @@ def _make_attn_block_kernel(
                 ) + bqkv_ref[...]
             xf = qkv.astype(h_ref.dtype)  # (T, 3W)
             if k_ref is not None:
-                lo = 1 if drop_cls else 0
-                if stacked:
-                    k_ref[0, f] = xf[lo:, w : 2 * w]
-                    v_ref[0, f] = xf[lo:, 2 * w :]
-                else:
-                    k_ref[f] = xf[lo:, w : 2 * w]
-                    v_ref[f] = xf[lo:, 2 * w :]
+                _write_kv_export((k_ref, v_ref, ks_ref, vs_ref), f, xf, w,
+                                 drop_cls, stacked)
             if last_only:
                 continue
             logits = [
@@ -272,6 +306,7 @@ def fused_encoder_attn_block(
     last_only: bool = False,
     export_into=None,
     int8_gemm: bool = False,
+    kv_rows8: bool = False,
 ):
     """One fused call for the encoder block's attention half.
 
@@ -332,6 +367,7 @@ def fused_encoder_attn_block(
         inputs = [h, wqkv, bqkv, wo, bo, lns, lnb]
     aliases = {}
 
+    kv_dt = jnp.int8 if kv_rows8 else dt
     out_shapes, out_specs = [], []
     if not last_only:
         out_shapes.append(jax.ShapeDtypeStruct((n, t, w), dt))
@@ -364,18 +400,24 @@ def fused_encoder_attn_block(
                     aliases[len(inputs)] = len(out_shapes)
                     inputs.append(acc)
                     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-                out_shapes.append(jax.ShapeDtypeStruct((nsel, n, t_out, w), dt))
+                out_shapes.append(jax.ShapeDtypeStruct((nsel, n, t_out, w), kv_dt))
                 out_specs.append(kv_block)
         else:
             for _ in ("k", "v"):
-                out_shapes.append(jax.ShapeDtypeStruct((n, t_out, w), dt))
+                out_shapes.append(jax.ShapeDtypeStruct((n, t_out, w), kv_dt))
                 out_specs.append(blocked((frames, t_out, w)))
+        if kv_rows8:
+            # per-row dequant scales: tiny (N, T', 1) f32 per-layer outputs
+            # (never stacked/aliased — the caller stacks ~1.5 MB total)
+            for _ in ("ks", "vs"):
+                out_shapes.append(jax.ShapeDtypeStruct((n, t_out, 1), jnp.float32))
+                out_specs.append(blocked((frames, t_out, 1)))
 
     outs = pl.pallas_call(
         _make_attn_block_kernel(heads, head_dim, frames, export, drop_cls,
                                 last_only, stacked=stacked,
                                 skip_inputs=len(aliases),
-                                int8_gemm=int8_gemm),
+                                int8_gemm=int8_gemm, kv_rows8=kv_rows8),
         out_shape=tuple(out_shapes),
         grid=(n // frames,),
         in_specs=in_specs,
@@ -392,8 +434,12 @@ def fused_encoder_attn_block(
                 vf.reshape(n, t_out, heads, head_dim))
 
     if last_only:
+        if kv_rows8:
+            return (*split_kv(outs[0], outs[1]), outs[2], outs[3])
         return split_kv(*outs)
     if export:
+        if kv_rows8:
+            return outs[0], *split_kv(outs[1], outs[2]), outs[3], outs[4]
         return outs[0], *split_kv(outs[1], outs[2])
     return outs[0]
 
@@ -401,7 +447,7 @@ def fused_encoder_attn_block(
 def _make_full_block_kernel_phased(
     heads: int, head_dim: int, frames: int, export: bool, drop_cls: bool,
     stacked: bool = False, skip_inputs: int = 0, int8_gemm: bool = False,
-    int8_wo: bool = False, mode: str = "full",
+    int8_wo: bool = False, kv_rows8: bool = False, mode: str = "full",
 ):
     """Phase-major variant of the whole-block kernel (DFD_PHASE_MAJOR).
 
@@ -437,8 +483,11 @@ def _make_full_block_kernel_phased(
         scale = head_dim ** -0.5
         if skip_inputs:
             out_refs = out_refs[skip_inputs:]
+        ks_ref = vs_ref = None
         if export:
             ho_ref, k_ref, v_ref = out_refs[:3]
+            if kv_rows8:
+                ks_ref, vs_ref = out_refs[3:5]
         else:
             ho_ref = out_refs[0]
             k_ref = v_ref = None
@@ -505,15 +554,11 @@ def _make_full_block_kernel_phased(
             y = ln(hall.astype(jnp.float32), ln1s_ref, ln1b_ref)
             xall = gemm(y, wqkv_ref, wqs_ref, bqkv_ref).astype(h_ref.dtype)
             if k_ref is not None:
-                lo = 1 if drop_cls else 0
                 for f in range(frames):
-                    xf_kv = xall[f * t_rows + lo : (f + 1) * t_rows]
-                    if stacked:
-                        k_ref[0, f] = xf_kv[:, w : 2 * w]
-                        v_ref[0, f] = xf_kv[:, 2 * w :]
-                    else:
-                        k_ref[f] = xf_kv[:, w : 2 * w]
-                        v_ref[f] = xf_kv[:, 2 * w :]
+                    _write_kv_export(
+                        (k_ref, v_ref, ks_ref, vs_ref), f,
+                        xall[f * t_rows : (f + 1) * t_rows], w, drop_cls,
+                        stacked)
             hmids = [attend(f, xall[f * t_rows : (f + 1) * t_rows])
                      for f in range(frames)]
             hmid_all = jnp.concatenate(hmids, axis=0)  # (F*T, W) f32
@@ -534,14 +579,9 @@ def _make_full_block_kernel_phased(
                         wqkv_ref, wqs_ref, bqkv_ref).astype(h_ref.dtype)
                    for hf in hfs]
         if k_ref is not None:
-            lo = 1 if drop_cls else 0
             for f, xf in enumerate(xfs):
-                if stacked:
-                    k_ref[0, f] = xf[lo:, w : 2 * w]
-                    v_ref[0, f] = xf[lo:, 2 * w :]
-                else:
-                    k_ref[f] = xf[lo:, w : 2 * w]
-                    v_ref[f] = xf[lo:, 2 * w :]
+                _write_kv_export((k_ref, v_ref, ks_ref, vs_ref), f, xf, w,
+                                 drop_cls, stacked)
         if mode in ("full", "attn"):
             # attention: logits (MXU) / exp (VPU) / mix (MXU) phases span
             # frames x heads
@@ -590,7 +630,7 @@ def _make_full_block_kernel_phased(
 def _make_full_block_kernel(
     heads: int, head_dim: int, frames: int, export: bool, drop_cls: bool,
     stacked: bool = False, skip_inputs: int = 0, int8_gemm: bool = False,
-    int8_wo: bool = False,
+    int8_wo: bool = False, kv_rows8: bool = False,
 ):
     """WHOLE encoder block in one kernel: LN1 + qkv + attention + out-proj +
     residual + LN2 + c_fc + QuickGELU + c_proj + residual (+ K/V export).
@@ -618,8 +658,11 @@ def _make_full_block_kernel(
         scale = head_dim ** -0.5
         if skip_inputs:
             out_refs = out_refs[skip_inputs:]  # aliased accumulator INPUT refs
+        ks_ref = vs_ref = None
         if export:
             ho_ref, k_ref, v_ref = out_refs[:3]
+            if kv_rows8:
+                ks_ref, vs_ref = out_refs[3:5]
         else:
             ho_ref = out_refs[0]
             k_ref = v_ref = None
@@ -646,13 +689,8 @@ def _make_full_block_kernel(
                 ) + bqkv_ref[...]
             xf = qkv.astype(h_ref.dtype)  # (T, 3W)
             if k_ref is not None:
-                lo = 1 if drop_cls else 0
-                if stacked:
-                    k_ref[0, f] = xf[lo:, w : 2 * w]
-                    v_ref[0, f] = xf[lo:, 2 * w :]
-                else:
-                    k_ref[f] = xf[lo:, w : 2 * w]
-                    v_ref[f] = xf[lo:, 2 * w :]
+                _write_kv_export((k_ref, v_ref, ks_ref, vs_ref), f, xf, w,
+                                 drop_cls, stacked)
             logits = [
                 jax.lax.dot_general(
                     xf[:, col(0, h)], xf[:, col(w, h)],
@@ -719,6 +757,7 @@ def fused_encoder_block(
     drop_cls: bool = False,
     export_into=None,
     int8_gemm: bool = False,
+    kv_rows8: bool = False,
 ):
     """One fused call for the ENTIRE encoder block (attention + MLP halves),
     optionally exporting this layer's K/V. Same contract as
@@ -791,6 +830,7 @@ def fused_encoder_block(
         ]
     aliases = {}
 
+    kv_dt = jnp.int8 if kv_rows8 else dt
     out_shapes = [jax.ShapeDtypeStruct((n, t, w), dt)]
     out_specs = [blocked((frames, t, w))]
     if export:
@@ -809,23 +849,34 @@ def fused_encoder_block(
                     aliases[len(inputs)] = len(out_shapes)
                     inputs.append(acc)
                     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-                out_shapes.append(jax.ShapeDtypeStruct((nsel, n, t_out, w), dt))
+                out_shapes.append(jax.ShapeDtypeStruct((nsel, n, t_out, w), kv_dt))
                 out_specs.append(kv_block)
         else:
             for _ in ("k", "v"):
-                out_shapes.append(jax.ShapeDtypeStruct((n, t_out, w), dt))
+                out_shapes.append(jax.ShapeDtypeStruct((n, t_out, w), kv_dt))
                 out_specs.append(blocked((frames, t_out, w)))
+        if kv_rows8:
+            # per-row dequant scales (see fused_encoder_attn_block)
+            for _ in ("ks", "vs"):
+                out_shapes.append(jax.ShapeDtypeStruct((n, t_out, 1), jnp.float32))
+                out_specs.append(blocked((frames, t_out, 1)))
 
-    phase = os.environ.get("DFD_PHASE_MAJOR", "0")
+    # default program order: phase-major (all stages interleaved across the
+    # grid step's frames) on the int8 path — chip A/B: 52.2 vs 56.8 ms
+    # frame-major at flagship shapes (PERF.md round 3; needs the 64 MB
+    # scoped-VMEM raise above). bf16 whole-block keeps frame-major — its
+    # doubled live ranges don't fit alongside 14.1 MB of resident weights.
+    phase = os.environ.get("DFD_PHASE_MAJOR", "1" if int8_gemm else "0")
     if phase in ("1", "full", "mlp", "rows"):
         kern = _make_full_block_kernel_phased(
             heads, head_dim, frames, export, drop_cls, stacked=stacked,
             skip_inputs=len(aliases), int8_gemm=int8_gemm, int8_wo=int8_wo,
-            mode="full" if phase == "1" else phase)
+            kv_rows8=kv_rows8, mode="full" if phase == "1" else phase)
     else:
         kern = _make_full_block_kernel(
             heads, head_dim, frames, export, drop_cls, stacked=stacked,
-            skip_inputs=len(aliases), int8_gemm=int8_gemm, int8_wo=int8_wo)
+            skip_inputs=len(aliases), int8_gemm=int8_gemm, int8_wo=int8_wo,
+            kv_rows8=kv_rows8)
     outs = pl.pallas_call(
         kern,
         out_shape=tuple(out_shapes),
@@ -839,12 +890,13 @@ def fused_encoder_block(
 
     if not export:
         return outs if isinstance(outs, jax.Array) else outs[0]
+    scales = (outs[3], outs[4]) if kv_rows8 else ()
     if stacked:
-        return outs[0], outs[1], outs[2]
+        return (outs[0], outs[1], outs[2], *scales)
     k, v = outs[1], outs[2]
     return (outs[0],
             k.reshape(n, t_out, heads, head_dim),
-            v.reshape(n, t_out, heads, head_dim))
+            v.reshape(n, t_out, heads, head_dim), *scales)
 
 
 def _make_mlp_block_kernel(frames: int, int8_gemm: bool = False):

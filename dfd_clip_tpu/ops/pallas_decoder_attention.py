@@ -58,10 +58,10 @@ _NEG_BIG = -1e30  # finite stand-in for -inf in the running max (avoids
                   # -inf - -inf = NaN on fully-masked prefixes)
 
 
-def _kernel(qblk_ref, qc_ref, k_ref, v_ref, m_ref, pos_ref, *out_and_scratch,
+def _kernel(qblk_ref, qc_ref, k_ref, v_ref, m_ref, pos_ref, *rest,
             heads: int, head_dim: int, scale: float, l_real: int, lt: int,
             with_pos: bool, stacked_in: bool = False, partials: bool = False,
-            batched: bool = True):
+            batched: bool = True, deq: bool = False):
     """One (sample, L-tile) step.
 
     Blocks: qblk (1, HD, 2H), qc (1, 1, HD), k/v (1, Lt, HD), m (1, Lt, 1),
@@ -97,6 +97,11 @@ def _kernel(qblk_ref, qc_ref, k_ref, v_ref, m_ref, pos_ref, *out_and_scratch,
     else:
         i, t = pl.program_id(0), pl.program_id(1)
     hd = heads * head_dim
+    if deq:
+        ks_ref, vs_ref, *out_and_scratch = rest
+    else:
+        ks_ref = vs_ref = None
+        out_and_scratch = rest
     if partials:
         o_ref, st_ref, accs, run_ds, run_ms = out_and_scratch
     else:
@@ -119,19 +124,44 @@ def _kernel(qblk_ref, qc_ref, k_ref, v_ref, m_ref, pos_ref, *out_and_scratch,
         run_d[:] = jnp.zeros_like(run_d)
         run_m[:] = jnp.full_like(run_m, _NEG_BIG)
 
-    k = k_ref[0, 0] if stacked_in else k_ref[0]   # (Lt, HD) bf16
-    v = v_ref[0, 0] if stacked_in else v_ref[0]   # (Lt, HD) bf16
-    if with_pos:
-        # shared temporal positional embedding, added to BOTH K and V here —
-        # in-VMEM, so the (B, L, H, D) pos-added copies the XLA path
-        # materializes never exist (decoder.py:163-165 semantics)
-        k = k + pos_ref[...]
-        v = v + pos_ref[...]
+    k = k_ref[0, 0] if stacked_in else k_ref[0]   # (Lt, HD) bf16 (int8 w/ deq)
+    v = v_ref[0, 0] if stacked_in else v_ref[0]   # (Lt, HD) bf16 (int8 w/ deq)
     row = jax.lax.broadcasted_iota(jnp.int32, (lt, 1), 0) + t * lt
     mcol = (m_ref[0] > 0) & (row < l_real)   # (Lt, 1) bool
-    # zero V's out-of-bounds rows: boundary-tile reads are undefined memory,
-    # and NaN garbage would poison the 0-weighted PV accumulation (0*NaN=NaN)
-    v = jnp.where(row < l_real, v, jnp.zeros((), v.dtype))
+    if deq:
+        # int8_rows K/V: the int8 stream halves the HBM reads this kernel is
+        # bandwidth-bound on, and each tensor pays exactly ONE int8 unpack
+        # pass (the packed (32, 128)-tiled int8 -> float relayout is the
+        # expensive VPU step; a first cut that dequantized both tensors to
+        # f32 and back to bf16 cost more than the bandwidth it saved):
+        #   * K converts once to f32 — the CoDA L1 gate needs f32 K anyway —
+        #     and the logits matmul runs as an f32 MXU issue (skinny, 2H
+        #     columns: compute-trivial) instead of a bf16 round-trip.
+        #   * V converts once to the compute dtype; its per-row scale is
+        #     folded into the (Lt, 2H) attention weights below (32x fewer
+        #     elements than the (Lt, HD) V dequant), and the temporal-pos
+        #     term is restored by a separate skinny `wboth @ pos` MXU issue.
+        ks = ks_ref[0, 0] if stacked_in else ks_ref[0]   # (Lt, 1) f32
+        vs = vs_ref[0, 0] if stacked_in else vs_ref[0]
+        # the final tile's OOB scale rows are undefined memory; their weight
+        # rows are 0 but 0*NaN inside the MXU would still poison PV
+        vs = jnp.where(row < l_real, vs, 0.0)
+        k = k.astype(jnp.float32) * ks
+        if with_pos:
+            k = k + pos_ref[...]  # pos arrives f32 (and zero-padded) w/ deq
+        v = v.astype(jnp.bfloat16)  # int8 garbage is finite: no NaN guard
+    else:
+        vs = None
+        if with_pos:
+            # shared temporal positional embedding, added to BOTH K and V
+            # here — in-VMEM, so the (B, L, H, D) pos-added copies the XLA
+            # path materializes never exist (decoder.py:163-165 semantics)
+            k = k + pos_ref[...]
+            v = v + pos_ref[...]
+        # zero V's out-of-bounds rows: boundary-tile reads are undefined
+        # memory, and NaN garbage would poison the 0-weighted PV
+        # accumulation (0*NaN=NaN)
+        v = jnp.where(row < l_real, v, jnp.zeros((), v.dtype))
 
     # E (H, HD): E[h, h*D+d] = 1 — the head->lanes expansion. Broadcasting a
     # per-head vector to HD lanes is E-matmul (pltpu.repeat is TILE repeat,
@@ -173,13 +203,27 @@ def _kernel(qblk_ref, qc_ref, k_ref, v_ref, m_ref, pos_ref, *out_and_scratch,
 
     # combined PV for BOTH branches: one (2H, Lt)x(Lt, HD) MXU issue; the
     # softmax half of the accumulator rescales by fac, the CoDA half by 1
-    wboth = jnp.concatenate([p, wc], axis=1).astype(v.dtype)   # (Lt, 2H)
+    wboth = jnp.concatenate([p, wc], axis=1)                   # (Lt, 2H) f32
     fac_rows = jnp.concatenate(
         [fac, jnp.ones_like(fac)], axis=1
     ).reshape(2 * heads, 1)                                    # (2H, 1)
-    acc[:] = acc[:] * fac_rows + jax.lax.dot_general(
-        wboth, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )  # (2H, HD)
+    if deq:
+        # V scale folded into the weights; Σ w·(v·vs + pos) = (w·vs)@v + w@pos
+        pv = jax.lax.dot_general(
+            (wboth * vs).astype(v.dtype), v, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if with_pos:
+            pv = pv + jax.lax.dot_general(
+                wboth, pos_ref[...], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    else:
+        pv = jax.lax.dot_general(
+            wboth.astype(v.dtype), v, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc[:] = acc[:] * fac_rows + pv  # (2H, HD)
 
     @pl.when(t == pl.num_programs(0 if batched else 1) - 1)
     def _():
@@ -209,6 +253,8 @@ def fused_decoder_attention(
     temporal_pos: jax.Array | None = None,
     layer: int | None = None,
     partials: bool = False,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
 ) -> jax.Array:
     """(B,1,H,D), (B,1,H,D), (B,L,H,D), (B,L,H,D), (B,L) -> (B,1,H,D).
 
@@ -238,6 +284,10 @@ def fused_decoder_attention(
     scale = d ** -0.5
     lt = _pick_tile(l)
     n_tiles = -(-l // lt)
+    deq = k_scale is not None
+    # compute dtype: K/V arrive int8 on the int8_rows path — queries, pos
+    # and the output use bf16 there
+    cd = jnp.bfloat16 if k.dtype == jnp.int8 else k.dtype
 
     if stacked_in:
         nblk = k.shape[0]
@@ -265,26 +315,33 @@ def fused_decoder_attention(
             return f
         return lambda i, t, **kw: f(t, i, **kw)
 
+    # deq: K dequantizes straight to f32 in-kernel (see _kernel), so the
+    # logits matmul and the V-side `wboth @ pos` term run f32 — qblk and pos
+    # are fed f32, and pos is zero-padded to the tile grid because its OOB
+    # rows enter an MXU issue with 0-weight rows (0*NaN would poison PV).
+    qdt = jnp.float32 if deq else cd
     with_pos = temporal_pos is not None
     if with_pos:
-        pos = jnp.broadcast_to(temporal_pos, (l, h, d)).reshape(l, hd).astype(k.dtype)
+        pos = jnp.broadcast_to(temporal_pos, (l, h, d)).reshape(l, hd).astype(qdt)
+        if deq and n_tiles * lt > l:
+            pos = jnp.pad(pos, ((0, n_tiles * lt - l), (0, 0)))
         pos_index = imap(lambda t, i: (t, 0))
     else:
-        pos = jnp.zeros((lt, hd), k.dtype)  # unused dummy block
+        pos = jnp.zeros((lt, hd), qdt)  # unused dummy block
         pos_index = imap(lambda t, i: (0, 0))
 
     # block-diagonal query matrix: one matmul yields all heads' logits for
     # both activations. (B, HD, 2H), tiny (~0.6 MB bf16 at flagship shape).
-    eye = jnp.eye(h, dtype=k.dtype)
-    qs_blk = (q_smax[:, 0].astype(k.dtype)[..., None] * eye[None, :, None, :]).reshape(b, hd, h)
-    qc_blk = (q_coda[:, 0].astype(k.dtype)[..., None] * eye[None, :, None, :]).reshape(b, hd, h)
+    eye = jnp.eye(h, dtype=qdt)
+    qs_blk = (q_smax[:, 0].astype(qdt)[..., None] * eye[None, :, None, :]).reshape(b, hd, h)
+    qc_blk = (q_coda[:, 0].astype(qdt)[..., None] * eye[None, :, None, :]).reshape(b, hd, h)
     qblk = jnp.concatenate([qs_blk, qc_blk], axis=2)   # (B, HD, 2H)
     qc_row = q_coda[:, 0].reshape(b, 1, hd).astype(jnp.float32)
 
     kernel = functools.partial(
         _kernel, heads=h, head_dim=d, scale=scale, l_real=l, lt=lt,
         with_pos=with_pos, stacked_in=stacked_in, partials=partials,
-        batched=batched,
+        batched=batched, deq=deq,
     )
     if stacked_in:
         kv_spec = pl.BlockSpec(
@@ -292,8 +349,15 @@ def fused_decoder_attention(
             imap(lambda t, i, _layer=layer: (_layer, i, t, 0)),
             memory_space=pltpu.VMEM,
         )
+        sc_spec = pl.BlockSpec(
+            (1, 1, lt, 1),
+            imap(lambda t, i, _layer=layer: (_layer, i, t, 0)),
+            memory_space=pltpu.VMEM,
+        )
     else:
         kv_spec = pl.BlockSpec((1, lt, hd), imap(lambda t, i: (i, t, 0)),
+                               memory_space=pltpu.VMEM)
+        sc_spec = pl.BlockSpec((1, lt, 1), imap(lambda t, i: (i, t, 0)),
                                memory_space=pltpu.VMEM)
     if partials:
         out_shape = (
@@ -305,7 +369,7 @@ def fused_decoder_attention(
             pl.BlockSpec((1, 2, h), imap(lambda t, i: (i, 0, 0)), memory_space=pltpu.VMEM),
         )
     else:
-        out_shape = jax.ShapeDtypeStruct((b, 1, hd), v.dtype)
+        out_shape = jax.ShapeDtypeStruct((b, 1, hd), cd)
         out_specs = pl.BlockSpec((1, 1, hd), imap(lambda t, i: (i, 0, 0)),
                                  memory_space=pltpu.VMEM)
     hp = -(-h // 128) * 128   # lane-padded head dim for the running stats
@@ -322,7 +386,7 @@ def fused_decoder_attention(
             kv_spec,
             pl.BlockSpec((1, lt, 1), imap(lambda t, i: (i, t, 0)), memory_space=pltpu.VMEM),
             pl.BlockSpec((lt, hd), pos_index, memory_space=pltpu.VMEM),
-        ],
+        ] + ([sc_spec, sc_spec] if deq else []),
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM(acc_shape, jnp.float32),
@@ -331,7 +395,8 @@ def fused_decoder_attention(
         ],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(qblk, qc_row, kf, vf, mf, pos)
+    )(qblk, qc_row, kf, vf, mf, pos,
+      *((k_scale, v_scale) if deq else ()))
     if partials:
         return out
     return out.reshape(b, 1, h, d)

@@ -70,6 +70,15 @@ def test_bf16_trained_int8_scored_auroc_holds(tmp_path, monkeypatch):
     trainer.model = det_int8
     auc_int8 = _auroc(root, runtime, trainer)
 
+    # The full production-bench config: W8A8 GEMMs + per-row int8 K/V that
+    # stays quantized into the decoder (op_mode.kv_dtype="int8_rows").
+    det_rows = tiny_detector(op_mode={
+        "temporal_position": 1, "compute_int8": 1, "kv_dtype": "int8_rows"})
+    trainer.model = det_rows
+    auc_rows = _auroc(root, runtime, trainer)
+
     assert auc_bf16 > 0.9, f"bf16 AUROC {auc_bf16} (fixture not learnable?)"
     assert auc_int8 > 0.9, f"int8 scoring broke the signal: AUROC {auc_int8}"
     assert abs(auc_bf16 - auc_int8) < 0.05, (auc_bf16, auc_int8)
+    assert auc_rows > 0.9, f"int8_rows K/V broke the signal: AUROC {auc_rows}"
+    assert abs(auc_bf16 - auc_rows) < 0.05, (auc_bf16, auc_rows)

@@ -272,6 +272,66 @@ def test_clip_vision_kv_phase_major_matches_xla(rng, monkeypatch, phase):
         )
 
 
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_clip_vision_kv_int8_rows_export(rng, monkeypatch, backend):
+    """kv_int8_rows: per-row int8 K/V export (kernel-quantized on the Pallas
+    path, XLA composition otherwise). Dequantized K/V must match the bf16
+    export within row-wise int8 tolerance (~0.8% relative)."""
+    from dfd_clip_tpu.models.clip_vit import ARCHITECTURES, clip_vision_kv, init_clip_vision
+
+    cfg = ARCHITECTURES["ViT-Test"]
+    params = init_clip_vision(jax.random.key(3), cfg)
+    x = jnp.asarray(
+        rng.standard_normal((2, 3, cfg.input_resolution, cfg.input_resolution)),
+        jnp.float32,
+    )
+    keep = (0, 2)
+
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "xla")
+    want = clip_vision_kv(params, x, cfg, compute_dtype=jnp.float32,
+                          keep_layers=keep, drop_cls=True)
+
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", backend)
+    got = clip_vision_kv(params, x, cfg, compute_dtype=jnp.float32,
+                         keep_layers=keep, drop_cls=True, kv_int8_rows=True)
+    assert got["k"].dtype == jnp.int8
+    assert got["k_scale"].shape == got["k"].shape[:3] + (1,)
+    for name in ("k", "v"):
+        deq = (got[name].astype(jnp.float32)
+               * got[f"{name}_scale"][..., None])
+        ref = np.asarray(want[name], np.float32)
+        denom = np.abs(ref).max() + 1e-9
+        np.testing.assert_allclose(np.asarray(deq) / denom, ref / denom,
+                                   atol=2e-2)
+
+
+def test_detector_predict_int8_rows_close(rng, monkeypatch):
+    """End-to-end: op_mode.kv_dtype="int8_rows" predict stays close to the
+    bf16 K/V baseline on both decoder backends (kernel dequant vs XLA
+    dequant)."""
+    from dfd_clip_tpu.models.detector import Detector
+
+    def build(kv_dtype, backend):
+        monkeypatch.setenv("DFD_ATTENTION_BACKEND", backend)
+        cfg = Detector.get_default_config()
+        cfg.merge_from_other_cfg({
+            "architecture": "ViT-Test", "decode_mode": "index",
+            "decode_indices": [0, 2], "out_dim": [2], "losses": ["auc_roc"],
+            "op_mode": {"temporal_position": 1, "kv_dtype": kv_dtype}})
+        return Detector(cfg, num_frames=4)
+
+    x = rng.integers(0, 255, (2, 4, 3, 32, 32)).astype(np.uint8)
+    m = np.ones((2, 4), bool)
+    ref = build("auto", "xla")
+    params = ref.init_params(jax.random.key(0))
+    base = np.asarray(ref.predict(params, x, m)[0][0])
+    for backend in ("xla", "pallas"):
+        out = np.asarray(build("int8_rows", backend).predict(params, x, m)[0][0])
+        cos = float(np.sum(out * base)
+                    / (np.linalg.norm(out) * np.linalg.norm(base) + 1e-9))
+        assert cos > 0.999, (backend, cos)
+
+
 def test_clip_vision_kv_wide_tower_int8_fused(rng, monkeypatch):
     """w=1024 towers (ViT-L class) keep the fused blocks on the int8 path —
     int8 weights fit scoped VMEM where bf16 doesn't (clip_vit gate)."""

@@ -128,7 +128,7 @@ KNOB_KEYS = ["DFD_FUSED_BLOCK", "DFD_DEC_STACK", "DFD_FRESH_ACC",
              "DFD_BLOCK_FRAMES", "DFD_FUSED_FRAMES", "DFD_MLP_FRAMES",
              "DFD_DEC_TILE", "DFD_STACKED_EXPORT", "DFD_FUSED_MLP",
              "DFD_PHASE_MAJOR", "DFD_INT8_WO", "DFD_DEC_BATCHED",
-             "DFD_VMEM_LIMIT_MB"]
+             "DFD_VMEM_LIMIT_MB", "DFD_LADDER_KV_ROWS"]
 
 # round-3b: the int8-wo / batched-decoder-grid / VMEM-raise knob set, timed
 # with the chained-slope method (chain_ladder below)
@@ -152,10 +152,41 @@ LADDERS["r3b"] = [
       "DFD_INT8_WO": "0", "DFD_DEC_BATCHED": "0"}, 1),
 ]
 
+# round-3c: refine around the r3b winner (full-phase bf=2 + wo + batched dec)
+_R3C_BASE = {"DFD_FUSED_BLOCK": "full", "DFD_DEC_STACK": "1",
+             "DFD_FRESH_ACC": "1", "DFD_PHASE_MAJOR": "1",
+             "DFD_INT8_WO": "1", "DFD_DEC_BATCHED": "1"}
+LADDERS["r3d"] = [
+    ("ctl full-phase bf=2", dict(_R3C_BASE), 1),
+    ("ctl + kv int8_rows", {**_R3C_BASE, "DFD_LADDER_KV_ROWS": "1"}, 1),
+    ("ctl + kv rows + bf16 tower (no gemm int8)",
+     {**_R3C_BASE, "DFD_LADDER_KV_ROWS": "1"}, 0),
+]
+
+# round-3e: kv int8_rows after the folded-scale dequant rework (one unpack
+# pass per tensor, V scale folded into the (Lt, 2H) weights, f32 K logits)
+LADDERS["r3e"] = [
+    ("ctl full-phase bf=2", dict(_R3C_BASE), 1),
+    ("ctl + kv rows folded-deq", {**_R3C_BASE, "DFD_LADDER_KV_ROWS": "1"}, 1),
+    ("ctl + kv rows + DEC_TILE=1024",
+     {**_R3C_BASE, "DFD_LADDER_KV_ROWS": "1", "DFD_DEC_TILE": "1024"}, 1),
+]
+
+LADDERS["r3c"] = [
+    ("ctl full-phase bf=2", dict(_R3C_BASE), 1),
+    ("full-phase bf=1", {**_R3C_BASE, "DFD_BLOCK_FRAMES": "1"}, 1),
+    ("ctl + DEC_TILE=1024", {**_R3C_BASE, "DFD_DEC_TILE": "1024"}, 1),
+    ("ctl + DEC_TILE=2048", {**_R3C_BASE, "DFD_DEC_TILE": "2048"}, 1),
+    ("ctl + VMEM=96", {**_R3C_BASE, "DFD_VMEM_LIMIT_MB": "96"}, 1),
+]
+
 
 def build(compute_int8: int):
     from dfd_clip_tpu.models.detector import Detector
 
+    op_mode = {"temporal_position": 1, "compute_int8": compute_int8}
+    if os.environ.get("DFD_LADDER_KV_ROWS") == "1":
+        op_mode["kv_dtype"] = "int8_rows"
     cfg = Detector.get_default_config()
     cfg.merge_from_other_cfg(
         {
@@ -163,7 +194,7 @@ def build(compute_int8: int):
             "decode_indices": [6, 7, 8, 9, 10, 11],
             "out_dim": [2],
             "losses": ["auc_roc"],
-            "op_mode": {"temporal_position": 1, "compute_int8": compute_int8},
+            "op_mode": op_mode,
         }
     )
     return Detector(cfg, num_frames=FRAMES)
@@ -412,8 +443,11 @@ def chain_ladder(ladder):
     rng0 = np.random.default_rng(0)
     xd = jax.device_put(rng0.integers(0, 255, (BATCH, FRAMES, 3, RES, RES), np.uint8))
     md = jax.device_put(np.ones((BATCH, FRAMES), bool))
+    # mask-feed: dependency chain through the tiny (B, T) mask, not the
+    # 60 MB input (x-feed adds ~0.95 ms/step of HBM copy to the slope)
     feed_j = jax.jit(
-        lambda x, out: x + (jnp.sum(out.astype(jnp.float32)) * 0).astype(x.dtype))
+        lambda m, out: jnp.logical_or(
+            m, (jnp.sum(out.astype(jnp.float32)) * 0).astype(bool)))
 
     for tag, knobs, int8 in ladder:
         for k in KNOB_KEYS:
@@ -424,10 +458,10 @@ def chain_ladder(ladder):
         fn = jax.jit(lambda p, x, m: model.predict(p, x, m)[0][0])
 
         def window(n):
-            x, out = xd, None
+            m, out = md, None
             for _ in range(n):
-                out = fn(params, x, md)
-                x = feed_j(x, out)
+                out = fn(params, xd, m)
+                m = feed_j(m, out)
             np.asarray(out)
 
         try:
