@@ -47,6 +47,21 @@ _LOGIT_CLAMP = 60.0  # exp(60)=1.1e26, far from f32 overflow; frozen-CLIP
                      # attention logits stay well below this in practice
 
 
+def _exp_probs(l):
+    """exp for the encoder softmax (normalization deferred to the PV
+    epilogue). The min-clamp costs one VPU pass over every (T, T) logits
+    tile (~1 ms/predict across 12 layers x 12 heads at flagship shapes);
+    DFD_NO_CLAMP=1 drops it. Safe only while max |logit| < ~88 (f32 exp
+    overflow): the tower is FROZEN, so the bound is a checkpoint property —
+    scripts/validate_parity.py reports the real checkpoint's max attention
+    logit next to the int8 gates before this knob is enabled in production."""
+    import os
+
+    if os.environ.get("DFD_NO_CLAMP") == "1":
+        return jnp.exp(l)
+    return jnp.exp(jnp.minimum(l, _LOGIT_CLAMP))
+
+
 def _make_encoder_kernel(heads: int, head_dim: int, frames: int):
     def kernel(q_ref, k_ref, v_ref, o_ref):
         scale = head_dim ** -0.5
@@ -73,12 +88,12 @@ def _make_encoder_kernel(heads: int, head_dim: int, frames: int):
             ]
             ps, sums = [], []
             for l in logits:
-                p = jnp.exp(jnp.minimum(l, _LOGIT_CLAMP))
+                p = _exp_probs(l)
                 ps.append(p.astype(o_ref.dtype))
-                sums.append(jnp.sum(p, axis=-1, keepdims=True))  # (T, 1)
+                sums.append(1.0 / jnp.sum(p, axis=-1, keepdims=True))  # (T, 1)
             for h in range(heads):
                 o = jnp.dot(ps[h], vf[:, head(h)], preferred_element_type=jnp.float32)
-                o_ref[f, :, head(h)] = (o / sums[h]).astype(o_ref.dtype)
+                o_ref[f, :, head(h)] = (o * sums[h]).astype(o_ref.dtype)
 
     return kernel
 
@@ -104,14 +119,14 @@ def _make_encoder_qkv_kernel(heads: int, head_dim: int, frames: int):
             ]
             ps, sums = [], []
             for l in logits:
-                p = jnp.exp(jnp.minimum(l, _LOGIT_CLAMP))
+                p = _exp_probs(l)
                 ps.append(p.astype(o_ref.dtype))
-                sums.append(jnp.sum(p, axis=-1, keepdims=True))  # (T, 1)
+                sums.append(1.0 / jnp.sum(p, axis=-1, keepdims=True))  # (T, 1)
             for h in range(heads):
                 o = jnp.dot(ps[h], xf[:, col(2 * w, h)],
                             preferred_element_type=jnp.float32)
                 o_ref[f, :, h * head_dim : (h + 1) * head_dim] = (
-                    o / sums[h]
+                    o * sums[h]
                 ).astype(o_ref.dtype)
 
     return kernel
@@ -140,9 +155,16 @@ def fused_encoder_attention_qkv(qkv: jax.Array, heads: int, head_dim: int) -> ja
 
 def _quant_rows(y):
     """f32 (T, C) -> (int8 values, (T, 1) f32 scales): dynamic per-row
-    absmax quantization for W8A8 GEMM inputs, entirely in VMEM."""
+    absmax quantization for W8A8 GEMM inputs, entirely in VMEM.
+
+    The scale divide happens on the (T, 1) reciprocal, not the (T, C)
+    stream — VPU divides are multi-cycle, so `y * (127/s)` beats
+    `y / s * 127` by a full-stream pass-equivalent per GEMM input. The
+    clip is NOT redundant: |y| <= s gives |y·rs| <= 127 only up to the
+    reciprocal's rounding, and an escaped 128 wraps to -128 in int8."""
     s = jnp.max(jnp.abs(y), axis=-1, keepdims=True) + 1e-8
-    q = jnp.clip(jnp.round(y / s * 127.0), -127, 127).astype(jnp.int8)
+    rs = 127.0 / s
+    q = jnp.clip(jnp.round(y * rs), -127, 127).astype(jnp.int8)
     return q, s
 
 
@@ -173,7 +195,7 @@ def _quant_kv_rows(rows):
     dequantizes at the consumer and rematerializes bf16 K/V."""
     r32 = rows.astype(jnp.float32)
     s = jnp.max(jnp.abs(r32), axis=-1, keepdims=True) * (1.0 / 127.0) + 1e-30
-    q = jnp.clip(jnp.round(r32 / s), -127.0, 127.0).astype(jnp.int8)
+    q = jnp.clip(jnp.round(r32 * (1.0 / s)), -127.0, 127.0).astype(jnp.int8)
     return q, s
 
 
@@ -276,14 +298,14 @@ def _make_attn_block_kernel(
             ]
             ps, sums = [], []
             for l in logits:
-                p = jnp.exp(jnp.minimum(l, _LOGIT_CLAMP))
+                p = _exp_probs(l)
                 ps.append(p.astype(h_ref.dtype))
-                sums.append(jnp.sum(p, axis=-1, keepdims=True))  # (T, 1)
+                sums.append(1.0 / jnp.sum(p, axis=-1, keepdims=True))  # (T, 1)
             cols = []
             for h in range(heads):
                 o = jnp.dot(ps[h], xf[:, col(2 * w, h)],
                             preferred_element_type=jnp.float32)
-                cols.append(o / sums[h])
+                cols.append(o * sums[h])
             attn = jnp.concatenate(cols, axis=-1).astype(h_ref.dtype)  # (T, W)
             out = jax.lax.dot_general(
                 attn, wo_ref[...],
@@ -531,12 +553,12 @@ def _make_full_block_kernel_phased(
             ]
             ps, sums = [], []
             for l in logits:
-                p = jnp.exp(jnp.minimum(l, _LOGIT_CLAMP))
+                p = _exp_probs(l)
                 ps.append(p.astype(h_ref.dtype))
-                sums.append(jnp.sum(p, axis=-1, keepdims=True))
+                sums.append(1.0 / jnp.sum(p, axis=-1, keepdims=True))
             cols = [
                 jnp.dot(ps[h], xf[:, col(2 * w, h)],
-                        preferred_element_type=jnp.float32) / sums[h]
+                        preferred_element_type=jnp.float32) * sums[h]
                 for h in range(heads)
             ]
             return hfs[f].astype(jnp.float32) + oproj(
@@ -562,6 +584,53 @@ def _make_full_block_kernel_phased(
             hmids = [attend(f, xall[f * t_rows : (f + 1) * t_rows])
                      for f in range(frames)]
             hmid_all = jnp.concatenate(hmids, axis=0)  # (F*T, W) f32
+            y2 = ln(hmid_all, ln2s_ref, ln2b_ref)
+            mid = gemm(y2, wfc_ref, wfcs_ref, bfc_ref)
+            mid = mid * jax.nn.sigmoid(1.702 * mid)  # QuickGELU, f32
+            out2 = gemm(mid, wproj_ref, wprojs_ref, bproj_ref)
+            ho_ref[...] = jnp.reshape(
+                (hmid_all + out2).astype(ho_ref.dtype), (frames, t_rows, w))
+            return
+        if mode == "fr":
+            # merged-M GEMMs (the "rows" win: M=F*197 pads ~5.6% vs ~13.7%
+            # at M=197) WITHOUT "rows"' frame-major attention (its loss —
+            # attend() serializes each frame's VPU softmax against its MXU
+            # issues; here the attention phases interleave across frames
+            # exactly as in mode="full").
+            t_rows = h_ref.shape[1]
+            hall = jnp.reshape(h_ref[...], (frames * t_rows, w))
+            y = ln(hall.astype(jnp.float32), ln1s_ref, ln1b_ref)
+            xall = gemm(y, wqkv_ref, wqs_ref, bqkv_ref).astype(h_ref.dtype)
+            xfs = [xall[f * t_rows : (f + 1) * t_rows] for f in range(frames)]
+            if k_ref is not None:
+                for f, xf in enumerate(xfs):
+                    _write_kv_export((k_ref, v_ref, ks_ref, vs_ref), f, xf,
+                                     w, drop_cls, stacked)
+            logits = [
+                [jax.lax.dot_general(
+                    xf[:, col(0, h)], xf[:, col(w, h)],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale for h in range(heads)]
+                for xf in xfs
+            ]
+            ps = [[None] * heads for _ in range(frames)]
+            sums = [[None] * heads for _ in range(frames)]
+            for f in range(frames):
+                for h in range(heads):
+                    p = _exp_probs(logits[f][h])
+                    ps[f][h] = p.astype(h_ref.dtype)
+                    sums[f][h] = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+            attns = []
+            for f, xf in enumerate(xfs):
+                cols = [
+                    jnp.dot(ps[f][h], xf[:, col(2 * w, h)],
+                            preferred_element_type=jnp.float32) * sums[f][h]
+                    for h in range(heads)
+                ]
+                attns.append(jnp.concatenate(cols, axis=-1))
+            hmid_all = jnp.reshape(h_ref[...], (frames * t_rows, w)).astype(
+                jnp.float32) + oproj(jnp.concatenate(attns, axis=0))
             y2 = ln(hmid_all, ln2s_ref, ln2b_ref)
             mid = gemm(y2, wfc_ref, wfcs_ref, bfc_ref)
             mid = mid * jax.nn.sigmoid(1.702 * mid)  # QuickGELU, f32
@@ -599,12 +668,12 @@ def _make_full_block_kernel_phased(
                 for h in range(heads):
                     p = jnp.exp(jnp.minimum(logits[f][h], _LOGIT_CLAMP))
                     ps[f][h] = p.astype(h_ref.dtype)
-                    sums[f][h] = jnp.sum(p, axis=-1, keepdims=True)
+                    sums[f][h] = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
             attns = []
             for f, xf in enumerate(xfs):
                 cols = [
                     jnp.dot(ps[f][h], xf[:, col(2 * w, h)],
-                            preferred_element_type=jnp.float32) / sums[f][h]
+                            preferred_element_type=jnp.float32) * sums[f][h]
                     for h in range(heads)
                 ]
                 attns.append(jnp.concatenate(cols, axis=-1))
@@ -700,14 +769,14 @@ def _make_full_block_kernel(
             ]
             ps, sums = [], []
             for l in logits:
-                p = jnp.exp(jnp.minimum(l, _LOGIT_CLAMP))
+                p = _exp_probs(l)
                 ps.append(p.astype(h_ref.dtype))
-                sums.append(jnp.sum(p, axis=-1, keepdims=True))  # (T, 1)
+                sums.append(1.0 / jnp.sum(p, axis=-1, keepdims=True))  # (T, 1)
             cols = []
             for h in range(heads):
                 o = jnp.dot(ps[h], xf[:, col(2 * w, h)],
                             preferred_element_type=jnp.float32)
-                cols.append(o / sums[h])
+                cols.append(o * sums[h])
             attn32 = jnp.concatenate(cols, axis=-1)  # (T, W) f32
             if int8_wo:
                 aq, a_s = _quant_rows(attn32)
@@ -867,7 +936,7 @@ def fused_encoder_block(
     # scoped-VMEM raise above). bf16 whole-block keeps frame-major — its
     # doubled live ranges don't fit alongside 14.1 MB of resident weights.
     phase = os.environ.get("DFD_PHASE_MAJOR", "1" if int8_gemm else "0")
-    if phase in ("1", "full", "mlp", "rows"):
+    if phase in ("1", "full", "mlp", "rows", "fr"):
         kern = _make_full_block_kernel_phased(
             heads, head_dim, frames, export, drop_cls, stacked=stacked,
             skip_inputs=len(aliases), int8_gemm=int8_gemm, int8_wo=int8_wo,

@@ -134,9 +134,12 @@ def _kernel(qblk_ref, qc_ref, k_ref, v_ref, m_ref, pos_ref, *rest,
         # pass (the packed (32, 128)-tiled int8 -> float relayout is the
         # expensive VPU step; a first cut that dequantized both tensors to
         # f32 and back to bf16 cost more than the bandwidth it saved):
-        #   * K converts once to f32 — the CoDA L1 gate needs f32 K anyway —
-        #     and the logits matmul runs as an f32 MXU issue (skinny, 2H
-        #     columns: compute-trivial) instead of a bf16 round-trip.
+        #   * K dequantizes at bf16 — int8 values are exact in bf16 and the
+        #     scale's bf16 rounding (~0.4% rel) sits inside the int8 quant
+        #     noise — so the logits matmul stays a bf16 MXU issue. (A second
+        #     cut dequantized K to f32 and ran logits + wboth@pos at f32;
+        #     the v5e MXU's ~1/8 f32 rate cost ~1.2 ms/predict across the
+        #     768 grid steps, more than the halved K/V DMA saved.)
         #   * V converts once to the compute dtype; its per-row scale is
         #     folded into the (Lt, 2H) attention weights below (32x fewer
         #     elements than the (Lt, HD) V dequant), and the temporal-pos
@@ -146,10 +149,11 @@ def _kernel(qblk_ref, qc_ref, k_ref, v_ref, m_ref, pos_ref, *rest,
         # the final tile's OOB scale rows are undefined memory; their weight
         # rows are 0 but 0*NaN inside the MXU would still poison PV
         vs = jnp.where(row < l_real, vs, 0.0)
-        k = k.astype(jnp.float32) * ks
+        cdt = qblk_ref.dtype
+        k = k.astype(cdt) * ks.astype(cdt)
         if with_pos:
-            k = k + pos_ref[...]  # pos arrives f32 (and zero-padded) w/ deq
-        v = v.astype(jnp.bfloat16)  # int8 garbage is finite: no NaN guard
+            k = k + pos_ref[...]  # pos zero-padded to the tile grid w/ deq
+        v = v.astype(cdt)  # int8 garbage is finite: no NaN guard
     else:
         vs = None
         if with_pos:
@@ -215,7 +219,8 @@ def _kernel(qblk_ref, qc_ref, k_ref, v_ref, m_ref, pos_ref, *rest,
         )
         if with_pos:
             pv = pv + jax.lax.dot_general(
-                wboth, pos_ref[...], (((0,), (0,)), ((), ())),
+                wboth.astype(pos_ref.dtype), pos_ref[...],
+                (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
     else:
@@ -315,26 +320,23 @@ def fused_decoder_attention(
             return f
         return lambda i, t, **kw: f(t, i, **kw)
 
-    # deq: K dequantizes straight to f32 in-kernel (see _kernel), so the
-    # logits matmul and the V-side `wboth @ pos` term run f32 — qblk and pos
-    # are fed f32, and pos is zero-padded to the tile grid because its OOB
-    # rows enter an MXU issue with 0-weight rows (0*NaN would poison PV).
-    qdt = jnp.float32 if deq else cd
     with_pos = temporal_pos is not None
     if with_pos:
-        pos = jnp.broadcast_to(temporal_pos, (l, h, d)).reshape(l, hd).astype(qdt)
+        pos = jnp.broadcast_to(temporal_pos, (l, h, d)).reshape(l, hd).astype(cd)
         if deq and n_tiles * lt > l:
+            # deq feeds pos into a `wboth @ pos` MXU issue whose OOB rows
+            # carry 0 weights — zero-pad so 0*garbage can't produce NaN
             pos = jnp.pad(pos, ((0, n_tiles * lt - l), (0, 0)))
         pos_index = imap(lambda t, i: (t, 0))
     else:
-        pos = jnp.zeros((lt, hd), qdt)  # unused dummy block
+        pos = jnp.zeros((lt, hd), cd)  # unused dummy block
         pos_index = imap(lambda t, i: (0, 0))
 
     # block-diagonal query matrix: one matmul yields all heads' logits for
     # both activations. (B, HD, 2H), tiny (~0.6 MB bf16 at flagship shape).
-    eye = jnp.eye(h, dtype=qdt)
-    qs_blk = (q_smax[:, 0].astype(qdt)[..., None] * eye[None, :, None, :]).reshape(b, hd, h)
-    qc_blk = (q_coda[:, 0].astype(qdt)[..., None] * eye[None, :, None, :]).reshape(b, hd, h)
+    eye = jnp.eye(h, dtype=cd)
+    qs_blk = (q_smax[:, 0].astype(cd)[..., None] * eye[None, :, None, :]).reshape(b, hd, h)
+    qc_blk = (q_coda[:, 0].astype(cd)[..., None] * eye[None, :, None, :]).reshape(b, hd, h)
     qblk = jnp.concatenate([qs_blk, qc_blk], axis=2)   # (B, HD, 2H)
     qc_row = q_coda[:, 0].reshape(b, 1, hd).astype(jnp.float32)
 

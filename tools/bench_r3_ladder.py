@@ -128,7 +128,7 @@ KNOB_KEYS = ["DFD_FUSED_BLOCK", "DFD_DEC_STACK", "DFD_FRESH_ACC",
              "DFD_BLOCK_FRAMES", "DFD_FUSED_FRAMES", "DFD_MLP_FRAMES",
              "DFD_DEC_TILE", "DFD_STACKED_EXPORT", "DFD_FUSED_MLP",
              "DFD_PHASE_MAJOR", "DFD_INT8_WO", "DFD_DEC_BATCHED",
-             "DFD_VMEM_LIMIT_MB", "DFD_LADDER_KV_ROWS"]
+             "DFD_VMEM_LIMIT_MB", "DFD_LADDER_KV_ROWS", "DFD_NO_CLAMP"]
 
 # round-3b: the int8-wo / batched-decoder-grid / VMEM-raise knob set, timed
 # with the chained-slope method (chain_ladder below)
@@ -161,6 +161,32 @@ LADDERS["r3d"] = [
     ("ctl + kv int8_rows", {**_R3C_BASE, "DFD_LADDER_KV_ROWS": "1"}, 1),
     ("ctl + kv rows + bf16 tower (no gemm int8)",
      {**_R3C_BASE, "DFD_LADDER_KV_ROWS": "1"}, 0),
+]
+
+# round-3f: rows phase mode (frame-merged GEMM M) — untested since the
+# scoped-VMEM raise unblocked it; M=2x197 pads 5.6% vs 13.7% at M=197
+LADDERS["r3g"] = [
+    ("ctl full-phase bf=2", dict(_R3C_BASE), 1),
+    ("ctl + NO_CLAMP", {**_R3C_BASE, "DFD_NO_CLAMP": "1"}, 1),
+]
+
+# round-3h: fr mode — merged-M GEMMs (rows) + full-phase attention
+LADDERS["r3h"] = [
+    ("ctl full-phase bf=2", dict(_R3C_BASE), 1),
+    ("fr-phase bf=2", {**_R3C_BASE, "DFD_PHASE_MAJOR": "fr"}, 1),
+    ("fr-phase bf=2 + NO_CLAMP",
+     {**_R3C_BASE, "DFD_PHASE_MAJOR": "fr", "DFD_NO_CLAMP": "1"}, 1),
+    ("fr-phase bf=4",
+     {**_R3C_BASE, "DFD_PHASE_MAJOR": "fr", "DFD_BLOCK_FRAMES": "4"}, 1),
+]
+
+LADDERS["r3f"] = [
+    ("ctl full-phase bf=2", dict(_R3C_BASE), 1),
+    ("rows-phase bf=2", {**_R3C_BASE, "DFD_PHASE_MAJOR": "rows"}, 1),
+    ("rows-phase bf=2 VMEM=96",
+     {**_R3C_BASE, "DFD_PHASE_MAJOR": "rows", "DFD_VMEM_LIMIT_MB": "96"}, 1),
+    ("rows-phase bf=4",
+     {**_R3C_BASE, "DFD_PHASE_MAJOR": "rows", "DFD_BLOCK_FRAMES": "4"}, 1),
 ]
 
 # round-3e: kv int8_rows after the folded-scale dequant rework (one unpack
