@@ -125,13 +125,56 @@ def convert_clip_visual(sd: Dict[str, np.ndarray], cfg: ViTConfig) -> Params:
         )
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
 
-    return {
+    params: Params = {
         # torch conv OIHW -> HWIO
         "conv1": {"w": jnp.asarray(sd[f"{pre}conv1.weight"].transpose(2, 3, 1, 0))},
         "class_embedding": jnp.asarray(sd[f"{pre}class_embedding"]),
         "positional_embedding": jnp.asarray(sd[f"{pre}positional_embedding"]),
         "ln_pre": _ln(sd, f"{pre}ln_pre"),
         "blocks": stacked,
+    }
+    # pooled zero-shot path (clip_text.clip_vision_features); the detector's
+    # K/V export never touches these, so they are optional in the tree
+    if f"{pre}ln_post.weight" in sd:
+        params["ln_post"] = _ln(sd, f"{pre}ln_post")
+    if f"{pre}proj" in sd:
+        params["proj"] = jnp.asarray(sd[f"{pre}proj"])
+    return params
+
+
+def convert_clip_text(sd: Dict[str, np.ndarray]) -> Params:
+    """OpenAI CLIP state_dict (text half) -> clip_text params
+    (src/clip/model.py:297-412 parameter surface)."""
+    n_layers = 1 + max(
+        int(k.split(".")[2]) for k in sd
+        if k.startswith("transformer.resblocks."))
+    blocks = []
+    for i in range(n_layers):
+        b = f"transformer.resblocks.{i}"
+        blocks.append(
+            {
+                "ln_1": _ln(sd, f"{b}.ln_1"),
+                "attn": {
+                    "in_proj": {
+                        "w": jnp.asarray(sd[f"{b}.attn.in_proj_weight"].T),
+                        "b": jnp.asarray(sd[f"{b}.attn.in_proj_bias"]),
+                    },
+                    "out_proj": _lin(sd, f"{b}.attn.out_proj"),
+                },
+                "ln_2": _ln(sd, f"{b}.ln_2"),
+                "mlp": {
+                    "c_fc": _lin(sd, f"{b}.mlp.c_fc"),
+                    "c_proj": _lin(sd, f"{b}.mlp.c_proj"),
+                },
+            }
+        )
+    return {
+        "token_embedding": jnp.asarray(sd["token_embedding.weight"]),
+        "positional_embedding": jnp.asarray(sd["positional_embedding"]),
+        "blocks": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks),
+        "ln_final": _ln(sd, "ln_final"),
+        "text_projection": jnp.asarray(sd["text_projection"]),
+        "logit_scale": jnp.asarray(sd.get("logit_scale", np.float32(2.6592))),
     }
 
 
