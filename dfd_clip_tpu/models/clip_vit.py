@@ -262,6 +262,34 @@ def clip_vision_kv(
         # w=1024 — too close to the scoped-VMEM limit with the f32
         # intermediates, so wide towers stay on the split pair.
         block_mode = "full" if (compute_int8 and cfg.width <= 768) else "split"
+    # Whole-ENCODER megakernel (ops/pallas_tower.py): the full layer stack in
+    # one Pallas call, grid (chunks, layers) with the residual stream carried
+    # in persistent VMEM scratch — the per-layer h round-trips (~2.2 GB HBM
+    # traffic per flagship predict) collapse to one read per chunk. Needs a
+    # contiguous keep range (slot index affine in the layer grid index) and
+    # the plain (bf16 or W8A8-compute) export modes. Opt-in until the chip
+    # A/B lands (DFD_MEGAKERNEL=1).
+    keep_sorted = tuple(sorted(keep))
+    if (
+        fused
+        and not kv_int8
+        and not rows8
+        and _os.environ.get("DFD_MEGAKERNEL", "0") == "1"
+        and keep == keep_sorted == tuple(range(keep_sorted[0], last + 1))
+    ):
+        from ..ops.pallas_tower import fused_encoder_tower
+
+        k, v = fused_encoder_tower(
+            h, params["blocks"], cfg.heads, cfg.head_dim,
+            keep=keep_sorted, drop_cls=drop_cls, int8_gemm=compute_int8,
+        )
+        tt = t - 1 if drop_cls else t
+        return {
+            "k": k.reshape(len(keep), n, tt, cfg.heads, cfg.head_dim
+                           ).astype(compute_dtype),
+            "v": v.reshape(len(keep), n, tt, cfg.heads, cfg.head_dim
+                           ).astype(compute_dtype),
+        }
     full_block = (fused and block_mode == "full"
                   and _os.environ.get("DFD_FUSED_MLP", "1") != "0")
     slot_of = {layer: s for s, layer in enumerate(keep)}

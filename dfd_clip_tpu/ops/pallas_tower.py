@@ -1,0 +1,325 @@
+"""Whole-encoder megakernel: the full ViT tower in ONE Pallas call.
+
+Replaces the per-layer ``fused_encoder_block`` chain of the frozen-CLIP hot
+path (the reference's encoder loop, /root/reference/src/clip/model.py:236-294)
+for inference. Structure:
+
+  * grid = (chunks, layers) with **layers innermost**: a chunk of frames'
+    residual stream is materialized ONCE into a persistent VMEM scratch
+    buffer (``hbuf``) at ``l == 0`` and revisited by every layer step — the
+    ~2.2 GB/predict of per-layer HBM round-trips of the residual stream at
+    flagship shapes (12 x read+write of the (320, 197, 768) bf16 stream)
+    collapses to one read per chunk. The price is that the per-layer weight
+    windows re-stream once per chunk (~0.66 GB at 40-frame chunks, int8),
+    which is why this only pays at large chunks — see PERF.md round 3.
+  * weights are passed **stacked** ((L, ...) leaves, the checkpoint format —
+    no relayout) and windowed per layer via the BlockSpec index_map; Mosaic
+    double-buffers the next layer's weights under the current layer's
+    compute.
+  * K/V exports are **manual DMAs** into ANY-space stacked accumulators
+    ((Lsel, N, T', W)), started right after the qkv GEMM of each frame group
+    and waited at the end of the group — the copy rides under the group's
+    attention+MLP compute. Windowed outputs would cost 2x double-buffered
+    (1, F, T', W) VMEM windows; the DMA form costs one (gs, T', W) staging
+    buffer.
+  * the last kept layer runs LN1 + qkv + export only (its attention/MLP are
+    dead work — same dead-code shape as clip_vit.clip_vision_kv's unrolled
+    loop); all other layers run the whole block in-kernel with the
+    phase-major-MLP schedule that won the round-3 chip ladder
+    (ops/pallas_attention._make_full_block_kernel_phased, mode="mlp").
+
+Inference-only (no VJP), like the per-layer fused kernels: training
+differentiates the XLA composition. Enabled via DFD_MEGAKERNEL (see
+clip_vit.clip_vision_kv for the auto-selection rule).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_attention import (
+    _compiler_params,
+    _exp_probs,
+    _interpret,
+    _quant_rows,
+)
+
+
+def _quantize_weight_stack(w):
+    """fp32 (L, K, N) -> int8 stack + (L, 1, N) f32 per-(layer, channel)
+    absmax scales (the stacked form of pallas_attention.quantize_weight)."""
+    w = w.astype(jnp.float32)
+    s = jnp.max(jnp.abs(w), axis=1, keepdims=True) + 1e-8
+    return jnp.round(w / s * 127.0).astype(jnp.int8), s
+
+
+def _make_tower_kernel(
+    heads: int,
+    head_dim: int,
+    frames: int,
+    group: int,
+    first: int,
+    last: int,
+    t: int,
+    drop_cls: bool,
+    int8_gemm: bool,
+    int8_wo: bool,
+    dt,
+):
+    w = heads * head_dim
+    lo = 1 if drop_cls else 0
+    scale = head_dim ** -0.5
+
+    def kernel(h_any, *rest):
+        if int8_gemm:
+            (wqkv_ref, wqs_ref, bqkv_ref, wo_ref, wos_ref, bo_ref,
+             ln1s_ref, ln1b_ref,
+             wfc_ref, wfcs_ref, bfc_ref, wproj_ref, wprojs_ref, bproj_ref,
+             ln2s_ref, ln2b_ref,
+             k_any, v_any, hbuf, kbuf, vbuf, sem) = rest
+        else:
+            (wqkv_ref, bqkv_ref, wo_ref, bo_ref, ln1s_ref, ln1b_ref,
+             wfc_ref, bfc_ref, wproj_ref, bproj_ref, ln2s_ref, ln2b_ref,
+             k_any, v_any, hbuf, kbuf, vbuf, sem) = rest
+            wqs_ref = wfcs_ref = wprojs_ref = wos_ref = None
+        c = pl.program_id(0)
+        l = pl.program_id(1)
+
+        @pl.when(l == 0)
+        def _():
+            # hydrate the chunk's residual stream into the persistent
+            # scratch carry (one HBM read per chunk; ~15 us at 40 frames)
+            cp = pltpu.make_async_copy(
+                h_any.at[pl.ds(c * frames, frames)], hbuf, sem.at[0])
+            cp.start()
+            cp.wait()
+
+        def ln(x32, s_ref, b_ref):
+            mean = jnp.mean(x32, axis=-1, keepdims=True)
+            var = jnp.var(x32, axis=-1, keepdims=True)
+            return (x32 - mean) * jax.lax.rsqrt(var + 1e-5) * s_ref[0] + b_ref[0]
+
+        def gemm(y32, w_ref, ws_ref, b_ref):
+            if int8_gemm:
+                yq, y_s = _quant_rows(y32)
+                acc = jax.lax.dot_general(
+                    yq, w_ref[0], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                return (acc.astype(jnp.float32) * (y_s / 127.0)
+                        * (ws_ref[0] / 127.0)) + b_ref[0]
+            return jax.lax.dot_general(
+                y32.astype(dt), w_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + b_ref[0]
+
+        def oproj(attn32):
+            if int8_wo:
+                aq, a_s = _quant_rows(attn32)
+                acc = jax.lax.dot_general(
+                    aq, wo_ref[0], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                return (acc.astype(jnp.float32) * (a_s / 127.0)
+                        * (wos_ref[0] / 127.0)) + bo_ref[0]
+            return jax.lax.dot_general(
+                attn32.astype(dt), wo_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + bo_ref[0]
+
+        def col(base, h):
+            return slice(base + h * head_dim, base + (h + 1) * head_dim)
+
+        def attend(hf32, xf):
+            """frame-major attention half: logits -> softmax -> mix ->
+            out-proj -> residual (cf. _make_full_block_kernel_phased)."""
+            logits = [
+                jax.lax.dot_general(
+                    xf[:, col(0, h)], xf[:, col(w, h)],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                for h in range(heads)
+            ]
+            ps, sums = [], []
+            for lg in logits:
+                p = _exp_probs(lg)
+                ps.append(p.astype(dt))
+                sums.append(1.0 / jnp.sum(p, axis=-1, keepdims=True))
+            cols = [
+                jnp.dot(ps[h], xf[:, col(2 * w, h)],
+                        preferred_element_type=jnp.float32) * sums[h]
+                for h in range(heads)
+            ]
+            return hf32 + oproj(jnp.concatenate(cols, axis=-1))
+
+        for g in range(frames // group):
+            fs = list(range(g * group, (g + 1) * group))
+            # qkv phase (phase-major: all frames' LN1+GEMM interleave)
+            hf32s = [hbuf[f].astype(jnp.float32) for f in fs]
+            xfs = [gemm(ln(h32, ln1s_ref, ln1b_ref), wqkv_ref, wqs_ref,
+                        bqkv_ref).astype(dt)
+                   for h32 in hf32s]
+
+            # export: stage this group's K/V rows and launch the DMAs; the
+            # copies ride under the attention+MLP compute below
+            kcp = pltpu.make_async_copy(
+                kbuf, k_any.at[l - first, pl.ds(c * frames + g * group, group)],
+                sem.at[1])
+            vcp = pltpu.make_async_copy(
+                vbuf, v_any.at[l - first, pl.ds(c * frames + g * group, group)],
+                sem.at[2])
+
+            @pl.when(l >= first)
+            def _(xfs=xfs, kcp=kcp, vcp=vcp):
+                for i, xf in enumerate(xfs):
+                    kbuf[i] = xf[lo:, w : 2 * w]
+                    vbuf[i] = xf[lo:, 2 * w :]
+                kcp.start()
+                vcp.start()
+
+            @pl.when(l < last)
+            def _(fs=fs, hf32s=hf32s, xfs=xfs):
+                # attention frame-major (its intermediates die per frame);
+                # MLP phase-major (the chip-ladder winner: GELU/quant VPU
+                # passes interleave under the MXU GEMMs)
+                hmids = [attend(h32, xf) for h32, xf in zip(hf32s, xfs)]
+                y2s = [ln(hm, ln2s_ref, ln2b_ref) for hm in hmids]
+                mids = [gemm(y2, wfc_ref, wfcs_ref, bfc_ref) for y2 in y2s]
+                mids = [m * jax.nn.sigmoid(1.702 * m) for m in mids]
+                for f, hm, mid in zip(fs, hmids, mids):
+                    out2 = gemm(mid, wproj_ref, wprojs_ref, bproj_ref)
+                    hbuf[f] = (hm + out2).astype(dt)
+
+            @pl.when(l >= first)
+            def _(kcp=kcp, vcp=vcp):
+                # the staging buffers are rewritten next group: fence here
+                kcp.wait()
+                vcp.wait()
+
+    return kernel
+
+
+def tower_frames(n: int) -> tuple[int, int]:
+    """(frames-per-chunk, frames-per-DMA-group) for a batch of n frames.
+
+    Large chunks amortize the per-chunk weight re-stream (6.9 MB int8 per
+    layer at ViT-B): 40+ frames is past break-even at flagship shapes
+    (PERF.md round-3 accounting). The group bounds the phased-MLP live set
+    (~5 MB f32 per frame). DFD_TOWER_FRAMES / DFD_TOWER_GROUP override."""
+    frames = int(os.environ.get("DFD_TOWER_FRAMES", "40"))
+    while frames > 1 and n % frames:
+        frames -= 1
+    group = int(os.environ.get("DFD_TOWER_GROUP", "4"))
+    while group > 1 and frames % group:
+        group //= 2
+    return frames, group
+
+
+def fused_encoder_tower(
+    h: jax.Array,
+    blocks: dict,
+    heads: int,
+    head_dim: int,
+    *,
+    keep: tuple,
+    drop_cls: bool = False,
+    int8_gemm: bool = False,
+):
+    """Run encoder layers 0..max(keep) in one Pallas call, returning the
+    stacked K/V exports.
+
+    h: (N, T, W) bf16 post-embed residual stream. blocks: the STACKED
+    per-layer params pytree ((L, ...) leaves, clip_vit checkpoint format).
+    keep must be a contiguous layer range ending at max(keep) (the flagship
+    keep-last-k pattern) — the export slot index is then an affine function
+    of the layer grid index. Returns (k, v): (Lsel, N, T', W) in h.dtype.
+    """
+    n, t, w = h.shape
+    assert w == heads * head_dim
+    keep = tuple(sorted(keep))
+    first, last = keep[0], keep[-1]
+    assert keep == tuple(range(first, last + 1)), (
+        "megakernel needs a contiguous keep-layer range; got %r" % (keep,))
+    nsel = len(keep)
+    t_out = t - 1 if drop_cls else t
+    dt = h.dtype
+    frames, group = tower_frames(n)
+
+    sl = lambda a: a[: last + 1]
+    hidden = blocks["mlp"]["c_fc"]["w"].shape[-1]
+    bqkv = sl(blocks["attn"]["in_proj"]["b"]).astype(jnp.float32).reshape(-1, 1, 3 * w)
+    bo = sl(blocks["attn"]["out_proj"]["b"]).astype(jnp.float32).reshape(-1, 1, w)
+    ln1s = sl(blocks["ln_1"]["scale"]).astype(jnp.float32).reshape(-1, 1, w)
+    ln1b = sl(blocks["ln_1"]["bias"]).astype(jnp.float32).reshape(-1, 1, w)
+    bfc = sl(blocks["mlp"]["c_fc"]["b"]).astype(jnp.float32).reshape(-1, 1, hidden)
+    bproj = sl(blocks["mlp"]["c_proj"]["b"]).astype(jnp.float32).reshape(-1, 1, w)
+    ln2s = sl(blocks["ln_2"]["scale"]).astype(jnp.float32).reshape(-1, 1, w)
+    ln2b = sl(blocks["ln_2"]["bias"]).astype(jnp.float32).reshape(-1, 1, w)
+
+    lconst = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda c, l: (l,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+
+    int8_wo = int8_gemm and os.environ.get("DFD_INT8_WO", "1") == "1"
+    if int8_gemm:
+        wqkv, wqs = _quantize_weight_stack(sl(blocks["attn"]["in_proj"]["w"]))
+        wfc, wfcs = _quantize_weight_stack(sl(blocks["mlp"]["c_fc"]["w"]))
+        wproj, wprojs = _quantize_weight_stack(sl(blocks["mlp"]["c_proj"]["w"]))
+        if int8_wo:
+            wo, wos = _quantize_weight_stack(sl(blocks["attn"]["out_proj"]["w"]))
+        else:
+            wo = sl(blocks["attn"]["out_proj"]["w"]).astype(dt)
+            wos = jnp.zeros((last + 1, 1, w), jnp.float32)  # unused dummy
+        inputs = [h, wqkv, wqs, bqkv, wo, wos, bo, ln1s, ln1b,
+                  wfc, wfcs, bfc, wproj, wprojs, bproj, ln2s, ln2b]
+        in_specs = [
+            pl.BlockSpec(memory_space=pl.ANY),
+            lconst((w, 3 * w)), lconst((1, 3 * w)), lconst((1, 3 * w)),
+            lconst((w, w)), lconst((1, w)), lconst((1, w)),
+            lconst((1, w)), lconst((1, w)),
+            lconst((w, hidden)), lconst((1, hidden)), lconst((1, hidden)),
+            lconst((hidden, w)), lconst((1, w)), lconst((1, w)),
+            lconst((1, w)), lconst((1, w)),
+        ]
+    else:
+        wqkv = sl(blocks["attn"]["in_proj"]["w"]).astype(dt)
+        wo = sl(blocks["attn"]["out_proj"]["w"]).astype(dt)
+        wfc = sl(blocks["mlp"]["c_fc"]["w"]).astype(dt)
+        wproj = sl(blocks["mlp"]["c_proj"]["w"]).astype(dt)
+        inputs = [h, wqkv, bqkv, wo, bo, ln1s, ln1b,
+                  wfc, bfc, wproj, bproj, ln2s, ln2b]
+        in_specs = [
+            pl.BlockSpec(memory_space=pl.ANY),
+            lconst((w, 3 * w)), lconst((1, 3 * w)),
+            lconst((w, w)), lconst((1, w)), lconst((1, w)), lconst((1, w)),
+            lconst((w, hidden)), lconst((1, hidden)),
+            lconst((hidden, w)), lconst((1, w)),
+            lconst((1, w)), lconst((1, w)),
+        ]
+
+    k, v = pl.pallas_call(
+        _make_tower_kernel(heads, head_dim, frames, group, first, last, t,
+                           drop_cls, int8_gemm, int8_wo, dt),
+        out_shape=(
+            jax.ShapeDtypeStruct((nsel, n, t_out, w), dt),
+            jax.ShapeDtypeStruct((nsel, n, t_out, w), dt),
+        ),
+        grid=(n // frames, last + 1),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((frames, t, w), dt),        # hbuf: the residual carry
+            pltpu.VMEM((group, t_out, w), dt),     # kbuf: K staging
+            pltpu.VMEM((group, t_out, w), dt),     # vbuf: V staging
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(*inputs)
+    return k, v
