@@ -82,3 +82,44 @@ def test_bf16_trained_int8_scored_auroc_holds(tmp_path, monkeypatch):
     assert abs(auc_bf16 - auc_int8) < 0.05, (auc_bf16, auc_int8)
     assert auc_rows > 0.9, f"int8_rows K/V broke the signal: AUROC {auc_rows}"
     assert abs(auc_bf16 - auc_rows) < 0.05, (auc_bf16, auc_rows)
+
+
+def test_bf16_trained_megakernel_int8_attn_scored_auroc_holds(
+        tmp_path, monkeypatch):
+    """Round-3 chip-ladder candidates: the whole-encoder megakernel
+    (DFD_MEGAKERNEL) and int8 attention (DFD_INT8_ATTN) must preserve a
+    bf16-trained model's AUROC when scoring with op_mode.compute_int8.
+    Contiguous keep range (decode_indices [1, 2]) — the megakernel's
+    requirement — so this trains its own tiny model."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("DFD_VIDEO_BACKEND", "opencv")
+    root = make_separable_ffpp_tree(str(tmp_path / "ffpp"))
+
+    runtime = MeshRuntime()
+    det = tiny_detector(decode_indices=[1, 2])
+    train_ds = FFPP(ffpp_config(root, random_speed=0), num_frames=4,
+                    clip_duration=2, runtime=runtime, split="train", index=0)
+    cfg = Trainer.get_default_config()
+    cfg.max_steps = 30
+    cfg.batch_size = 16 // runtime.data_parallel or 1
+    cfg.num_workers = 0
+    cfg.learning_rate = 3e-3
+    cfg.metrics = [CN({"name": "deepfake/ffpp", "types": ["roc_auc"]})]
+    trainer = Trainer(cfg, runtime, det, [train_ds])
+    trainer.run()
+
+    auc_bf16 = _auroc(root, runtime, trainer)
+
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "pallas")  # interpret on CPU
+    monkeypatch.setenv("DFD_MEGAKERNEL", "1")
+    monkeypatch.setenv("DFD_INT8_ATTN", "1")
+    det_mega = tiny_detector(
+        decode_indices=[1, 2],
+        op_mode={"temporal_position": 1, "compute_int8": 1})
+    trainer.model = det_mega
+    auc_mega = _auroc(root, runtime, trainer)
+
+    assert auc_bf16 > 0.9, f"bf16 AUROC {auc_bf16} (fixture not learnable?)"
+    assert auc_mega > 0.9, (
+        f"megakernel int8-attn scoring broke the signal: AUROC {auc_mega}")
+    assert abs(auc_bf16 - auc_mega) < 0.05, (auc_bf16, auc_mega)

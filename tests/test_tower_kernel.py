@@ -62,6 +62,29 @@ def test_megakernel_matches_xla(rng, monkeypatch, drop_cls, int8):
         )
 
 
+def test_megakernel_int8_attention(rng, monkeypatch):
+    """DFD_INT8_ATTN: the attention logits/PV GEMMs also run int8. An
+    approximation (int8 rounding on Q/K/P/V), so the tolerance is the int8
+    drift band; the end-to-end AUROC gate lives in test_int8_e2e.py."""
+    cfg, params, x = _tower_io(rng)
+    keep = (1, 2)
+
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "xla")
+    want = clip_vision_kv(params, x, cfg, compute_dtype=jnp.float32,
+                          keep_layers=keep, drop_cls=True, compute_int8=True)
+
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "pallas")
+    monkeypatch.setenv("DFD_MEGAKERNEL", "1")
+    monkeypatch.setenv("DFD_INT8_ATTN", "1")
+    got = clip_vision_kv(params, x, cfg, compute_dtype=jnp.float32,
+                         keep_layers=keep, drop_cls=True, compute_int8=True)
+    for name in ("k", "v"):
+        assert got[name].shape == want[name].shape
+        np.testing.assert_allclose(
+            np.asarray(got[name]), np.asarray(want[name]), rtol=8e-2, atol=8e-2
+        )
+
+
 def test_megakernel_keep_all_layers(rng, monkeypatch):
     """keep_layers=None (all layers export) is a contiguous range from 0."""
     cfg, params, x = _tower_io(rng)

@@ -128,7 +128,9 @@ KNOB_KEYS = ["DFD_FUSED_BLOCK", "DFD_DEC_STACK", "DFD_FRESH_ACC",
              "DFD_BLOCK_FRAMES", "DFD_FUSED_FRAMES", "DFD_MLP_FRAMES",
              "DFD_DEC_TILE", "DFD_STACKED_EXPORT", "DFD_FUSED_MLP",
              "DFD_PHASE_MAJOR", "DFD_INT8_WO", "DFD_DEC_BATCHED",
-             "DFD_VMEM_LIMIT_MB", "DFD_LADDER_KV_ROWS", "DFD_NO_CLAMP"]
+             "DFD_VMEM_LIMIT_MB", "DFD_LADDER_KV_ROWS", "DFD_NO_CLAMP",
+             "DFD_MEGAKERNEL", "DFD_TOWER_FRAMES", "DFD_TOWER_GROUP",
+             "DFD_INT8_ATTN"]
 
 # round-3b: the int8-wo / batched-decoder-grid / VMEM-raise knob set, timed
 # with the chained-slope method (chain_ladder below)
@@ -196,6 +198,29 @@ LADDERS["r3e"] = [
     ("ctl + kv rows folded-deq", {**_R3C_BASE, "DFD_LADDER_KV_ROWS": "1"}, 1),
     ("ctl + kv rows + DEC_TILE=1024",
      {**_R3C_BASE, "DFD_LADDER_KV_ROWS": "1", "DFD_DEC_TILE": "1024"}, 1),
+]
+
+# round-3 megakernel: whole-encoder tower kernel (ops/pallas_tower.py) vs
+# the per-layer whole-block chain. Chunk size trades the per-chunk weight
+# re-stream (~83 MB int8/sweep) against VMEM; 320 frames/batch at flagship.
+_MEGA = {**_R3C_BASE, "DFD_MEGAKERNEL": "1"}
+LADDERS["mega"] = [
+    ("ctl full-phase bf=2 (r3 winner)", dict(_R3C_BASE), 1),
+    ("mega F=20 g=4", {**_MEGA, "DFD_TOWER_FRAMES": "20"}, 1),
+    ("mega F=32 g=4", {**_MEGA, "DFD_TOWER_FRAMES": "32"}, 1),
+    ("mega F=40 g=4 (default)", dict(_MEGA), 1),
+    ("mega F=40 g=8", {**_MEGA, "DFD_TOWER_GROUP": "8"}, 1),
+    ("mega F=80 g=4 VMEM=96",
+     {**_MEGA, "DFD_TOWER_FRAMES": "80", "DFD_VMEM_LIMIT_MB": "96"}, 1),
+    ("mega F=40 g=2", {**_MEGA, "DFD_TOWER_GROUP": "2"}, 1),
+]
+
+# int8 attention (logits/PV GEMMs on the int8 MXU) on top of the megakernel
+LADDERS["mega2"] = [
+    ("mega F=40 g=4 (ctl)", dict(_MEGA), 1),
+    ("mega + INT8_ATTN", {**_MEGA, "DFD_INT8_ATTN": "1"}, 1),
+    ("mega + INT8_ATTN g=8",
+     {**_MEGA, "DFD_INT8_ATTN": "1", "DFD_TOWER_GROUP": "8"}, 1),
 ]
 
 LADDERS["r3c"] = [
