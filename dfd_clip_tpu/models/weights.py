@@ -142,6 +142,62 @@ def convert_clip_visual(sd: Dict[str, np.ndarray], cfg: ViTConfig) -> Params:
     return params
 
 
+def convert_clip_resnet(sd: Dict[str, np.ndarray]) -> Params:
+    """OpenAI CLIP RN state_dict (visual.* or bare ModifiedResNet) ->
+    clip_resnet params (reference module: src/clip/model.py:94-155)."""
+    pre = "visual." if any(k.startswith("visual.") for k in sd) else ""
+
+    def conv(prefix: str) -> Params:
+        # torch conv OIHW -> HWIO
+        return {"w": jnp.asarray(sd[f"{prefix}.weight"].transpose(2, 3, 1, 0))}
+
+    def bnp(prefix: str) -> Params:
+        return {
+            "scale": jnp.asarray(sd[f"{prefix}.weight"]),
+            "bias": jnp.asarray(sd[f"{prefix}.bias"]),
+            "mean": jnp.asarray(sd[f"{prefix}.running_mean"]),
+            "var": jnp.asarray(sd[f"{prefix}.running_var"]),
+        }
+
+    params: Params = {
+        "stem": {
+            "conv1": conv(f"{pre}conv1"), "bn1": bnp(f"{pre}bn1"),
+            "conv2": conv(f"{pre}conv2"), "bn2": bnp(f"{pre}bn2"),
+            "conv3": conv(f"{pre}conv3"), "bn3": bnp(f"{pre}bn3"),
+        }
+    }
+    for stage in range(1, 5):
+        blocks = []
+        b = 0
+        while f"{pre}layer{stage}.{b}.conv1.weight" in sd:
+            base = f"{pre}layer{stage}.{b}"
+            blk = {
+                "conv1": conv(f"{base}.conv1"), "bn1": bnp(f"{base}.bn1"),
+                "conv2": conv(f"{base}.conv2"), "bn2": bnp(f"{base}.bn2"),
+                "conv3": conv(f"{base}.conv3"), "bn3": bnp(f"{base}.bn3"),
+            }
+            # the downsample Sequential names its stages "-1" (avgpool, no
+            # params), "0" (conv), "1" (bn) — model.py:36-41
+            if f"{base}.downsample.0.weight" in sd:
+                blk["downsample"] = {
+                    "conv": conv(f"{base}.downsample.0"),
+                    "bn": bnp(f"{base}.downsample.1"),
+                }
+            blocks.append(blk)
+            b += 1
+        params[f"layer{stage}"] = blocks
+
+    ap = f"{pre}attnpool"
+    params["attnpool"] = {
+        "positional_embedding": jnp.asarray(sd[f"{ap}.positional_embedding"]),
+        "q_proj": _lin(sd, f"{ap}.q_proj"),
+        "k_proj": _lin(sd, f"{ap}.k_proj"),
+        "v_proj": _lin(sd, f"{ap}.v_proj"),
+        "c_proj": _lin(sd, f"{ap}.c_proj"),
+    }
+    return params
+
+
 def convert_clip_text(sd: Dict[str, np.ndarray]) -> Params:
     """OpenAI CLIP state_dict (text half) -> clip_text params
     (src/clip/model.py:297-412 parameter surface)."""
