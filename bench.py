@@ -391,8 +391,9 @@ def main():
             }
         )
         imodel = Detector(icfg, num_frames=NUM_FRAMES)
+        iparams = imodel.prepare_params(params)  # pre-quantized int8 tower
         int8_per_chip = round(measure_device_only(
-            jax.jit(lambda p, x, m: imodel.predict(p, x, m)[0][0]), params
+            jax.jit(lambda p, x, m: imodel.predict(p, x, m)[0][0]), iparams
         ), 2)
 
     # training-step throughput (round-3 verdict #3): the reference's actual

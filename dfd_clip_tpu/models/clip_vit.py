@@ -170,6 +170,37 @@ def _quant_kv_rows_xla(f: jax.Array):
     return q.reshape(f.shape), s
 
 
+def prepare_int8_params(params: Params) -> Params:
+    """Pre-quantize the frozen tower's GEMM weights for compute_int8
+    inference: adds stacked ("wq" int8, "ws" f32) leaves next to each linear
+    "w" in the block pytree. The kernels (pallas_attention.weight_q,
+    pallas_tower._stack_q, layers.linear_w8a8) pick them up and skip the
+    in-graph absmax+round pass over the full f32 weight set (~340 MB of HBM
+    reads per flagship predict). Runtime-only: call after loading a
+    checkpoint (Detector.prepare_params); never saved."""
+    from ..ops.pallas_tower import _quantize_weight_stack
+
+    def aug(p: Params) -> Params:
+        wq, ws = _quantize_weight_stack(p["w"])
+        return {**p, "wq": wq, "ws": ws}
+
+    blocks = params["blocks"]
+    new_blocks = dict(blocks)
+    if "attn" in blocks:
+        new_blocks["attn"] = {
+            **blocks["attn"],
+            "in_proj": aug(blocks["attn"]["in_proj"]),
+            "out_proj": aug(blocks["attn"]["out_proj"]),
+        }
+    if "mlp" in blocks and "c_fc" in blocks["mlp"]:
+        new_blocks["mlp"] = {
+            **blocks["mlp"],
+            "c_fc": aug(blocks["mlp"]["c_fc"]),
+            "c_proj": aug(blocks["mlp"]["c_proj"]),
+        }
+    return {**params, "blocks": new_blocks}
+
+
 def clip_vision_kv(
     params: Params,
     x: jax.Array,

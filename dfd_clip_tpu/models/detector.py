@@ -230,6 +230,16 @@ class Detector:
             )
         return params
 
+    def prepare_params(self, params: Params) -> Params:
+        """Inference-time param preparation: with op_mode.compute_int8 the
+        frozen tower's GEMM weights pre-quantize ONCE here instead of inside
+        every jitted predict (clip_vit.prepare_int8_params). Identity
+        otherwise. Call after loading a checkpoint; the result is runtime
+        state, never saved."""
+        if not bool(self.op_mode.get("compute_int8", 0)):
+            return params
+        return {**params, "encoder": clip_vit.prepare_int8_params(params["encoder"])}
+
     def _decoder_reference_blocks(self, encoder_params: Params) -> Params:
         """The encoder block pytree used to seed decoder ln/mlp weights."""
         if self.foundation == "clip":

@@ -50,9 +50,12 @@ def linear_w8a8(params: Params, x: jax.Array) -> jax.Array:
     the checkpoint and quantize at trace time (one cheap absmax pass,
     constant-folded into the graph where XLA can).
     """
-    w = params["w"].astype(jnp.float32)
-    w_scale = jnp.max(jnp.abs(w), axis=0, keepdims=True) + 1e-8      # (1, N)
-    wq = jnp.round(w / w_scale * 127.0).astype(jnp.int8)
+    if "wq" in params:  # pre-quantized (clip_vit.prepare_int8_params)
+        wq, w_scale = params["wq"], params["ws"]
+    else:
+        w = params["w"].astype(jnp.float32)
+        w_scale = jnp.max(jnp.abs(w), axis=0, keepdims=True) + 1e-8  # (1, N)
+        wq = jnp.round(w / w_scale * 127.0).astype(jnp.int8)
 
     x32 = x.astype(jnp.float32)
     x_scale = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) + 1e-8   # (..., 1)

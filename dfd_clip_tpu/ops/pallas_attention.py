@@ -185,6 +185,16 @@ def quantize_weight(w):
     return jnp.round(w / s * 127.0).astype(jnp.int8), s
 
 
+def weight_q(p):
+    """Quantized weight for a linear-param dict: the pre-quantized
+    ("wq", "ws") leaves when present (clip_vit.prepare_int8_params — skips
+    the in-graph absmax+round pass over the full f32 weight set, ~340 MB of
+    HBM reads per flagship predict), else quantize at trace time."""
+    if "wq" in p:
+        return p["wq"], p["ws"]
+    return quantize_weight(p["w"])
+
+
 def _quant_kv_rows(rows):
     """(T', W) -> (int8 values, (T', 1) f32 scale); dequant = q · s.
 
@@ -370,7 +380,7 @@ def fused_encoder_attn_block(
 
     stacked = export_into is not None
     if int8_gemm:
-        wqkv, wqs = quantize_weight(attn["in_proj"]["w"])
+        wqkv, wqs = weight_q(attn["in_proj"])
         in_specs = [
             blocked((frames, t, w)),
             const((w, 3 * w)), const((1, 3 * w)), const((1, 3 * w)),
@@ -866,11 +876,11 @@ def fused_encoder_block(
     # (tests/test_int8_e2e.py, scripts/validate_parity.py).
     int8_wo = int8_gemm and os.environ.get("DFD_INT8_WO", "1") == "1"
     if int8_gemm:
-        wqkv, wqs = quantize_weight(attn["in_proj"]["w"])
-        wfc, wfcs = quantize_weight(mlp["c_fc"]["w"])
-        wproj, wprojs = quantize_weight(mlp["c_proj"]["w"])
+        wqkv, wqs = weight_q(attn["in_proj"])
+        wfc, wfcs = weight_q(mlp["c_fc"])
+        wproj, wprojs = weight_q(mlp["c_proj"])
         if int8_wo:
-            wo, wos = quantize_weight(attn["out_proj"]["w"])
+            wo, wos = weight_q(attn["out_proj"])
         else:
             wos = jnp.zeros((1, w), jnp.float32)  # unused dummy
         inputs = [h, wqkv, wqs, bqkv, wo, wos, bo, ln1s, ln1b,
@@ -1040,8 +1050,8 @@ def fused_encoder_mlp_block(h: jax.Array, ln: dict, mlp: dict,
                            memory_space=pltpu.VMEM)
 
     if int8_gemm:
-        wfc, wfcs = quantize_weight(mlp["c_fc"]["w"])
-        wproj, wprojs = quantize_weight(mlp["c_proj"]["w"])
+        wfc, wfcs = weight_q(mlp["c_fc"])
+        wproj, wprojs = weight_q(mlp["c_proj"])
         in_specs = [
             blocked,
             const((w, hidden)), const((1, hidden)), const((1, hidden)),

@@ -59,6 +59,14 @@ def _quantize_weight_stack(w):
     return jnp.round(w / s * 127.0).astype(jnp.int8), s
 
 
+def _stack_q(p, sl):
+    """Pre-quantized ("wq", "ws") stacked leaves when present
+    (clip_vit.prepare_int8_params), else quantize the slice at trace time."""
+    if "wq" in p:
+        return sl(p["wq"]), sl(p["ws"])
+    return _quantize_weight_stack(sl(p["w"]))
+
+
 def _make_tower_kernel(
     heads: int,
     head_dim: int,
@@ -306,11 +314,11 @@ def fused_encoder_tower(
     int8_wo = int8_gemm and os.environ.get("DFD_INT8_WO", "1") == "1"
     int8_attn = int8_gemm and os.environ.get("DFD_INT8_ATTN", "0") == "1"
     if int8_gemm:
-        wqkv, wqs = _quantize_weight_stack(sl(blocks["attn"]["in_proj"]["w"]))
-        wfc, wfcs = _quantize_weight_stack(sl(blocks["mlp"]["c_fc"]["w"]))
-        wproj, wprojs = _quantize_weight_stack(sl(blocks["mlp"]["c_proj"]["w"]))
+        wqkv, wqs = _stack_q(blocks["attn"]["in_proj"], sl)
+        wfc, wfcs = _stack_q(blocks["mlp"]["c_fc"], sl)
+        wproj, wprojs = _stack_q(blocks["mlp"]["c_proj"], sl)
         if int8_wo:
-            wo, wos = _quantize_weight_stack(sl(blocks["attn"]["out_proj"]["w"]))
+            wo, wos = _stack_q(blocks["attn"]["out_proj"], sl)
         else:
             wo = sl(blocks["attn"]["out_proj"]["w"]).astype(dt)
             wos = jnp.zeros((last + 1, 1, w), jnp.float32)  # unused dummy

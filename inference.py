@@ -85,6 +85,10 @@ def load_model_params(model, root, weight_mode):
     params.update(jax.tree_util.tree_map(lambda x: x, trainable))
     if isinstance(state, dict) and "frozen" in state:
         params.update(state["frozen"])
+    # inference-only prep (e.g. pre-quantized int8 tower weights under
+    # op_mode.compute_int8) — runtime state, never saved
+    if hasattr(model, "prepare_params"):
+        params = model.prepare_params(params)
     return params
 
 

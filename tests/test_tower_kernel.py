@@ -85,6 +85,30 @@ def test_megakernel_int8_attention(rng, monkeypatch):
         )
 
 
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_prepare_int8_params_matches_traced_quant(rng, monkeypatch, backend):
+    """prepare_int8_params (pre-quantized "wq"/"ws" leaves) must be
+    numerically identical to trace-time quantization on every compute_int8
+    path — same absmax math on the same weights, just hoisted out of the
+    jitted graph."""
+    from dfd_clip_tpu.models.clip_vit import prepare_int8_params
+
+    cfg, params, x = _tower_io(rng)
+    keep = (1, 2)
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", backend)
+    if backend == "pallas":
+        monkeypatch.setenv("DFD_MEGAKERNEL", "1")
+    want = clip_vision_kv(params, x, cfg, compute_dtype=jnp.float32,
+                          keep_layers=keep, drop_cls=True, compute_int8=True)
+    got = clip_vision_kv(prepare_int8_params(params), x, cfg,
+                         compute_dtype=jnp.float32, keep_layers=keep,
+                         drop_cls=True, compute_int8=True)
+    for name in ("k", "v"):
+        np.testing.assert_allclose(
+            np.asarray(got[name]), np.asarray(want[name]), rtol=1e-6, atol=1e-6
+        )
+
+
 def test_megakernel_keep_all_layers(rng, monkeypatch):
     """keep_layers=None (all layers export) is a contiguous range from 0."""
     cfg, params, x = _tower_io(rng)

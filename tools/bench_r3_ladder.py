@@ -505,7 +505,7 @@ def chain_ladder(ladder):
             os.environ.pop(k, None)
         os.environ.update(knobs)
         model = build(int8)
-        params = model.init_params(jax.random.key(0))
+        params = model.prepare_params(model.init_params(jax.random.key(0)))
         fn = jax.jit(lambda p, x, m: model.predict(p, x, m)[0][0])
 
         def window(n):
