@@ -121,6 +121,49 @@ def test_spmd_predict_matches_gspmd(rng, mesh42, monkeypatch):
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
 
 
+def test_spmd_megakernel_predict_matches_gspmd(rng, mesh42, monkeypatch):
+    """The whole-encoder megakernel under shard_map: each shard runs the
+    tower kernel on its local (data, seq) slab; result == multi-device
+    GSPMD/XLA. Contiguous keep range + compute_int8 (the megakernel's
+    production config, int8 tolerance)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dfd_clip_tpu.models.detector import Detector
+
+    cfg = Detector.get_default_config()
+    cfg.merge_from_other_cfg(
+        {
+            "architecture": "ViT-Test",
+            "decode_mode": "index",
+            "decode_indices": [1, 2],
+            "out_dim": [2],
+            "losses": ["auc_roc"],
+            "op_mode": {"temporal_position": 1, "compute_int8": 1},
+        }
+    )
+    model = Detector(cfg, num_frames=4, compute_dtype=jnp.float32)
+    params = model.init_params(jax.random.key(0))
+
+    b, t = 4, 4
+    x = rng.integers(0, 255, (b, t, 3, 32, 32), np.uint8)
+    m = np.ones((b, t), bool)
+
+    xs = jax.device_put(x, NamedSharding(mesh42, P("data", "seq")))
+    ms = jax.device_put(m, NamedSharding(mesh42, P("data")))
+
+    monkeypatch.setenv("DFD_SPMD_PALLAS", "0")
+    predict = jax.jit(lambda p, x, m: model.predict(p, x, m)[0][0])
+    want = np.asarray(predict(params, xs, ms))
+
+    monkeypatch.setenv("DFD_SPMD_PALLAS", "1")
+    monkeypatch.setenv("DFD_MEGAKERNEL", "1")
+    prepared = model.prepare_params(params)
+    predict_spmd = jax.jit(lambda p, x, m: model.predict(p, x, m)[0][0])
+    got = np.asarray(predict_spmd(prepared, xs, ms))
+
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+
+
 def test_spmd_falls_back_on_indivisible_shapes(rng, mesh42, monkeypatch):
     """Batch/frames not divisible by the mesh: the GSPMD path must be used
     (no shard_map error), producing normal finite logits."""
