@@ -223,6 +223,19 @@ LADDERS["mega2"] = [
      {**_MEGA, "DFD_INT8_ATTN": "1", "DFD_TOWER_GROUP": "8"}, 1),
 ]
 
+# bf16 megakernel (weights 14.1 MB/layer double-buffered — VMEM-tighter, and
+# the train step's frozen-encoder forward runs this mode)
+_MEGA_BF = {"DFD_FUSED_BLOCK": "split", "DFD_DEC_STACK": "1",
+            "DFD_MEGAKERNEL": "1"}
+LADDERS["megabf"] = [
+    ("bf16 split ctl (r2 winner)",
+     {"DFD_FUSED_BLOCK": "split", "DFD_DEC_STACK": "1"}, 0),
+    ("bf16 mega F=20 g=4", {**_MEGA_BF, "DFD_TOWER_FRAMES": "20"}, 0),
+    ("bf16 mega F=40 g=4", dict(_MEGA_BF), 0),
+    ("bf16 mega F=40 g=4 VMEM=96",
+     {**_MEGA_BF, "DFD_VMEM_LIMIT_MB": "96"}, 0),
+]
+
 LADDERS["r3c"] = [
     ("ctl full-phase bf=2", dict(_R3C_BASE), 1),
     ("full-phase bf=1", {**_R3C_BASE, "DFD_BLOCK_FRAMES": "1"}, 1),
