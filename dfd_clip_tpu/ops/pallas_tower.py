@@ -203,10 +203,14 @@ def _make_tower_kernel(
             ]
             return hf32 + oproj(jnp.concatenate(cols, axis=-1))
 
-        for g in range(frames // group):
-            fs = list(range(g * group, (g + 1) * group))
+        def group_body(g, carry):
+            """One group of `group` frames: qkv phase, export DMA, attention
+            (frame-major) + MLP (phase-major). `g` may be traced (fori_loop)
+            — frame reads/writes use a dynamic base into the scratch carry;
+            frames within the group unroll statically."""
+            base = g * group
             # qkv phase (phase-major: all frames' LN1+GEMM interleave)
-            hf32s = [hbuf[f].astype(jnp.float32) for f in fs]
+            hf32s = [hbuf[base + i].astype(jnp.float32) for i in range(group)]
             xfs = [gemm(ln(h32, ln1s_ref, ln1b_ref), wqkv_ref, wqs_ref,
                         bqkv_ref).astype(dt)
                    for h32 in hf32s]
@@ -214,14 +218,14 @@ def _make_tower_kernel(
             # export: stage this group's K/V rows and launch the DMAs; the
             # copies ride under the attention+MLP compute below
             kcp = pltpu.make_async_copy(
-                kbuf, k_any.at[l - first, pl.ds(c * frames + g * group, group)],
+                kbuf, k_any.at[l - first, pl.ds(c * frames + base, group)],
                 sem.at[1])
             vcp = pltpu.make_async_copy(
-                vbuf, v_any.at[l - first, pl.ds(c * frames + g * group, group)],
+                vbuf, v_any.at[l - first, pl.ds(c * frames + base, group)],
                 sem.at[2])
 
             @pl.when(l >= first)
-            def _(xfs=xfs, kcp=kcp, vcp=vcp):
+            def _():
                 for i, xf in enumerate(xfs):
                     kbuf[i] = xf[lo:, w : 2 * w]
                     vbuf[i] = xf[lo:, 2 * w :]
@@ -229,7 +233,7 @@ def _make_tower_kernel(
                 vcp.start()
 
             @pl.when(l < last)
-            def _(fs=fs, hf32s=hf32s, xfs=xfs):
+            def _():
                 # attention frame-major (its intermediates die per frame);
                 # MLP phase-major (the chip-ladder winner: GELU/quant VPU
                 # passes interleave under the MXU GEMMs)
@@ -237,15 +241,26 @@ def _make_tower_kernel(
                 y2s = [ln(hm, ln2s_ref, ln2b_ref) for hm in hmids]
                 mids = [gemm(y2, wfc_ref, wfcs_ref, bfc_ref) for y2 in y2s]
                 mids = [m * jax.nn.sigmoid(1.702 * m) for m in mids]
-                for f, hm, mid in zip(fs, hmids, mids):
+                for i, (hm, mid) in enumerate(zip(hmids, mids)):
                     out2 = gemm(mid, wproj_ref, wprojs_ref, bproj_ref)
-                    hbuf[f] = (hm + out2).astype(dt)
+                    hbuf[base + i] = (hm + out2).astype(dt)
 
             @pl.when(l >= first)
-            def _(kcp=kcp, vcp=vcp):
+            def _():
                 # the staging buffers are rewritten next group: fence here
                 kcp.wait()
                 vcp.wait()
+
+            return carry
+
+        # fori_loop keeps the Mosaic program size constant in the chunk size
+        # (a Python unroll at 40 frames/chunk would be ~10-20x the per-layer
+        # kernels' body — compile-time poison); one group unrolls statically.
+        n_groups = frames // group
+        if n_groups > 1:
+            jax.lax.fori_loop(0, n_groups, group_body, 0)
+        else:
+            group_body(0, 0)
 
     return kernel
 
