@@ -209,6 +209,50 @@ def _quant_kv_rows(rows):
     return q, s
 
 
+def _attn_int8_cols(xf, heads, head_dim, scale):
+    """Encoder self-attention for one frame's packed qkv (T, 3W) with BOTH
+    GEMMs on the int8 MXU (DFD_INT8_ATTN): Q and K per-(row, head)
+    absmax-quantized, the exp'd probabilities per row, V per-channel-within-
+    head. The dequant scales factor out of the contractions exactly
+    (logits = (Qi Ki^T)·sq·sk^T, PV = (Pi Vi)·sp·sv); int8 rounding on the
+    operands is the only approximation — gated end-to-end by the int8 AUROC
+    tests. Returns the per-head (T, D) f32 normalized outputs."""
+    w = heads * head_dim
+
+    def qrows(a):
+        s = jnp.max(jnp.abs(a), axis=-1, keepdims=True) + 1e-8
+        q = jnp.clip(jnp.round(a * (127.0 / s)), -127, 127).astype(jnp.int8)
+        return q, s
+
+    def col(base, h):
+        return slice(base + h * head_dim, base + (h + 1) * head_dim)
+
+    cols = []
+    for h in range(heads):
+        qf32 = xf[:, col(0, h)].astype(jnp.float32)
+        kf32 = xf[:, col(w, h)].astype(jnp.float32)
+        qi, sq = qrows(qf32)
+        ki, sk = qrows(kf32)
+        acc = jax.lax.dot_general(
+            qi, ki, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        lg = (acc.astype(jnp.float32)
+              * (sq * (scale / (127.0 * 127.0))) * sk.T)
+        p = _exp_probs(lg)
+        rsum = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+        pi, sp = qrows(p)
+        vf32 = xf[:, col(2 * w, h)].astype(jnp.float32)
+        sv = jnp.max(jnp.abs(vf32), axis=0, keepdims=True) + 1e-8
+        vi = jnp.clip(jnp.round(vf32 * (127.0 / sv)),
+                      -127, 127).astype(jnp.int8)
+        pv = jax.lax.dot_general(
+            pi, vi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        cols.append(pv.astype(jnp.float32)
+                    * (sp * rsum / (127.0 * 127.0)) * sv)
+    return cols
+
+
 def _write_kv_export(refs, f, xf, w, drop_cls, stacked):
     """Write frame f's K/V rows (and scales on the int8_rows path) from the
     packed qkv stream xf (T, 3W). refs = (k, v, ks, vs); ks/vs None on the
@@ -480,6 +524,7 @@ def _make_full_block_kernel_phased(
     heads: int, head_dim: int, frames: int, export: bool, drop_cls: bool,
     stacked: bool = False, skip_inputs: int = 0, int8_gemm: bool = False,
     int8_wo: bool = False, kv_rows8: bool = False, mode: str = "full",
+    int8_attn: bool = False,
 ):
     """Phase-major variant of the whole-block kernel (DFD_PHASE_MAJOR).
 
@@ -553,6 +598,10 @@ def _make_full_block_kernel_phased(
 
         def attend(f, xf):
             """logits -> softmax -> mix -> out-proj -> residual for frame f."""
+            if int8_attn:
+                cols = _attn_int8_cols(xf, heads, head_dim, scale)
+                return hfs[f].astype(jnp.float32) + oproj(
+                    jnp.concatenate(cols, axis=-1))
             logits = [
                 jax.lax.dot_general(
                     xf[:, col(0, h)], xf[:, col(w, h)],
@@ -661,7 +710,13 @@ def _make_full_block_kernel_phased(
             for f, xf in enumerate(xfs):
                 _write_kv_export((k_ref, v_ref, ks_ref, vs_ref), f, xf, w,
                                  drop_cls, stacked)
-        if mode in ("full", "attn"):
+        if int8_attn and mode in ("full", "attn"):
+            hmids = [
+                hfs[f].astype(jnp.float32) + oproj(jnp.concatenate(
+                    _attn_int8_cols(xf, heads, head_dim, scale), axis=-1))
+                for f, xf in enumerate(xfs)
+            ]
+        elif mode in ("full", "attn"):
             # attention: logits (MXU) / exp (VPU) / mix (MXU) phases span
             # frames x heads
             logits = [
@@ -946,11 +1001,13 @@ def fused_encoder_block(
     # scoped-VMEM raise above). bf16 whole-block keeps frame-major — its
     # doubled live ranges don't fit alongside 14.1 MB of resident weights.
     phase = os.environ.get("DFD_PHASE_MAJOR", "1" if int8_gemm else "0")
+    int8_attn = int8_gemm and os.environ.get("DFD_INT8_ATTN", "0") == "1"
     if phase in ("1", "full", "mlp", "rows", "fr"):
         kern = _make_full_block_kernel_phased(
             heads, head_dim, frames, export, drop_cls, stacked=stacked,
             skip_inputs=len(aliases), int8_gemm=int8_gemm, int8_wo=int8_wo,
-            kv_rows8=kv_rows8, mode="full" if phase == "1" else phase)
+            kv_rows8=kv_rows8, mode="full" if phase == "1" else phase,
+            int8_attn=int8_attn)
     else:
         kern = _make_full_block_kernel(
             heads, head_dim, frames, export, drop_cls, stacked=stacked,

@@ -85,6 +85,31 @@ def test_megakernel_int8_attention(rng, monkeypatch):
         )
 
 
+@pytest.mark.parametrize("phase", ["full", "mlp"])
+def test_whole_block_int8_attention(rng, monkeypatch, phase):
+    """DFD_INT8_ATTN on the per-layer whole-block kernel (both phase
+    schedules) — the non-megakernel composition of the same int8 attention
+    math (pallas_attention._attn_int8_cols)."""
+    cfg, params, x = _tower_io(rng)
+    keep = (1, 2)
+
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "xla")
+    want = clip_vision_kv(params, x, cfg, compute_dtype=jnp.float32,
+                          keep_layers=keep, drop_cls=True, compute_int8=True)
+
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "pallas")
+    monkeypatch.setenv("DFD_FUSED_BLOCK", "full")
+    monkeypatch.setenv("DFD_PHASE_MAJOR", phase)
+    monkeypatch.setenv("DFD_INT8_ATTN", "1")
+    got = clip_vision_kv(params, x, cfg, compute_dtype=jnp.float32,
+                         keep_layers=keep, drop_cls=True, compute_int8=True)
+    for name in ("k", "v"):
+        assert got[name].shape == want[name].shape
+        np.testing.assert_allclose(
+            np.asarray(got[name]), np.asarray(want[name]), rtol=8e-2, atol=8e-2
+        )
+
+
 @pytest.mark.parametrize("backend", ["xla", "pallas"])
 def test_prepare_int8_params_matches_traced_quant(rng, monkeypatch, backend):
     """prepare_int8_params (pre-quantized "wq"/"ws" leaves) must be
