@@ -44,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_attention import (
+    _attn_int8_cols,
     _compiler_params,
     _exp_probs,
     _interpret,
@@ -141,47 +142,14 @@ def _make_tower_kernel(
         def col(base, h):
             return slice(base + h * head_dim, base + (h + 1) * head_dim)
 
-        def _qrows8(a):
-            """per-row absmax int8 for a per-head (T, D) attention operand."""
-            s = jnp.max(jnp.abs(a), axis=-1, keepdims=True) + 1e-8
-            rs = 127.0 / s
-            return jnp.clip(jnp.round(a * rs), -127, 127).astype(jnp.int8), s
-
         def attend(hf32, xf):
             """frame-major attention half: logits -> softmax -> mix ->
             out-proj -> residual (cf. _make_full_block_kernel_phased).
 
             ``int8_attn`` (DFD_INT8_ATTN) also runs the two attention GEMMs
-            on the int8 MXU: Q and K per-(row, head) absmax-quantized, the
-            exp'd probabilities per row, V per-channel-within-head — the
-            dequant scales factor out of the contractions exactly
-            (logits = (Qi Ki^T)·sq·sk^T, PV = (Pi Vi)·sp·sv). Approximate
-            (int8 rounding on the attention operands): gated end-to-end by
-            the int8 AUROC tests before production use."""
+            on the int8 MXU (pallas_attention._attn_int8_cols)."""
             if int8_attn:
-                cols = []
-                for h in range(heads):
-                    qf32 = xf[:, col(0, h)].astype(jnp.float32)
-                    kf32 = xf[:, col(w, h)].astype(jnp.float32)
-                    qi, sq = _qrows8(qf32)
-                    ki, sk = _qrows8(kf32)
-                    acc = jax.lax.dot_general(
-                        qi, ki, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.int32)
-                    lg = (acc.astype(jnp.float32)
-                          * (sq * (scale / (127.0 * 127.0))) * sk.T)
-                    p = _exp_probs(lg)
-                    rsum = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
-                    pi, sp = _qrows8(p)
-                    vf32 = xf[:, col(2 * w, h)].astype(jnp.float32)
-                    sv = jnp.max(jnp.abs(vf32), axis=0, keepdims=True) + 1e-8
-                    vi = jnp.clip(jnp.round(vf32 * (127.0 / sv)),
-                                  -127, 127).astype(jnp.int8)
-                    pv = jax.lax.dot_general(
-                        pi, vi, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32)
-                    cols.append(pv.astype(jnp.float32)
-                                * (sp * rsum / (127.0 * 127.0)) * sv)
+                cols = _attn_int8_cols(xf, heads, head_dim, scale)
                 return hf32 + oproj(jnp.concatenate(cols, axis=-1))
             logits = [
                 jax.lax.dot_general(
