@@ -50,6 +50,10 @@ ARCHITECTURES: Dict[str, ResNetConfig] = {
     "RN101": ResNetConfig(layers=(3, 4, 23, 3), output_dim=512),
     "RN50x4": ResNetConfig(layers=(4, 6, 10, 6), width=80, heads=40,
                            input_resolution=288, output_dim=640),
+    "RN50x16": ResNetConfig(layers=(6, 8, 18, 8), width=96, heads=48,
+                            input_resolution=384, output_dim=768),
+    "RN50x64": ResNetConfig(layers=(3, 15, 36, 10), width=128, heads=64,
+                            input_resolution=448, output_dim=1024),
     # tiny geometry for tests (mirrors clip_vit's "ViT-Test")
     "RN-Test": ResNetConfig(layers=(1, 1, 1, 1), width=16, heads=2,
                             input_resolution=32, output_dim=8),

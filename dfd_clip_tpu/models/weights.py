@@ -315,6 +315,30 @@ def convert_reference_decoder(sd: Dict[str, np.ndarray], cfg) -> Params:
     return params
 
 
+def infer_clip_resnet_config(sd: Dict[str, np.ndarray]):
+    """Infer RN architecture from a CLIP state dict — the counts/widths
+    logic of the reference's build_model (src/clip/model.py:453-466)."""
+    from .clip_resnet import ResNetConfig
+
+    pre = "visual." if any(k.startswith("visual.") for k in sd) else ""
+    layers = tuple(
+        len({k.split(".")[2 if pre else 1] for k in sd
+             if k.startswith(f"{pre}layer{s}.")})
+        for s in (1, 2, 3, 4)
+    )
+    width = sd[f"{pre}conv1.weight"].shape[0] * 2  # stem conv1 is width//2
+    embed_dim = width * 32
+    pos_tokens = sd[f"{pre}attnpool.positional_embedding"].shape[0]
+    spacial = int(round((pos_tokens - 1) ** 0.5))
+    return ResNetConfig(
+        layers=layers,
+        width=width,
+        heads=embed_dim // 64,  # vision_heads = vision_width * 32 // 64
+        input_resolution=spacial * 32,
+        output_dim=sd[f"{pre}attnpool.c_proj.weight"].shape[0],
+    )
+
+
 def infer_clip_vit_config(sd: Dict[str, np.ndarray]) -> ViTConfig:
     """Infer architecture from a CLIP state dict (src/clip/model.py:453-496)."""
     pre = "visual." if any(k.startswith("visual.") for k in sd) else ""

@@ -47,6 +47,7 @@ def test_resnet_torch_golden():
     model = model.float().eval()
 
     sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    assert weights_lib.infer_clip_resnet_config(sd) == cfg
     params = weights_lib.convert_clip_resnet(sd)
 
     rng = np.random.default_rng(2)
