@@ -54,8 +54,9 @@ ARCHITECTURES: Dict[str, ResNetConfig] = {
                             input_resolution=384, output_dim=768),
     "RN50x64": ResNetConfig(layers=(3, 15, 36, 10), width=128, heads=64,
                             input_resolution=448, output_dim=1024),
-    # tiny geometry for tests (mirrors clip_vit's "ViT-Test")
-    "RN-Test": ResNetConfig(layers=(1, 1, 1, 1), width=16, heads=2,
+    # tiny geometry for tests (mirrors clip_vit's "ViT-Test"); heads follows
+    # the reference's width*32//64 rule so config inference round-trips
+    "RN-Test": ResNetConfig(layers=(1, 1, 1, 1), width=16, heads=8,
                             input_resolution=32, output_dim=8),
 }
 
