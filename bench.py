@@ -377,6 +377,7 @@ def main():
     # tests/test_models.py::test_compute_int8_drift; validate on real CLIP
     # weights via scripts/validate_parity.py before enabling in production).
     int8_per_chip = None
+    int8_variants = {}
     if os.environ.get("BENCH_SKIP_INT8") != "1":
         from dfd_clip_tpu.models.detector import Detector
 
@@ -392,9 +393,24 @@ def main():
         )
         imodel = Detector(icfg, num_frames=NUM_FRAMES)
         iparams = imodel.prepare_params(params)  # pre-quantized int8 tower
-        int8_per_chip = round(measure_device_only(
-            jax.jit(lambda p, x, m: imodel.predict(p, x, m)[0][0]), iparams
-        ), 2)
+
+        # Same-process A/B over the whole-encoder megakernel (round-3
+        # structural lever, opt-in until chip-validated): measure both
+        # compositions, keep the faster; a Mosaic compile failure on one
+        # rung must never sink the bench.
+        for tag, knob in (("blocks", "0"), ("mega", "1")):
+            os.environ["DFD_MEGAKERNEL"] = knob
+            try:
+                int8_variants[tag] = measure_device_only(
+                    jax.jit(lambda p, x, m: imodel.predict(p, x, m)[0][0]),
+                    iparams)
+            except Exception as e:  # noqa: BLE001 — record, don't die
+                print(f"int8 variant {tag} failed: {type(e).__name__}: "
+                      f"{str(e)[:120]}", file=sys.stderr)
+        os.environ.pop("DFD_MEGAKERNEL", None)
+        if int8_variants:
+            int8_kernel = max(int8_variants, key=int8_variants.get)
+            int8_per_chip = round(int8_variants[int8_kernel], 2)
 
     # training-step throughput (round-3 verdict #3): the reference's actual
     # workload is a 3k-step training run; report clips/s/chip + steps/s for
@@ -427,6 +443,11 @@ def main():
                 "vs_baseline": round(per_chip / BASELINE_EST_CLIPS_PER_SEC, 3),
                 "device_only_clips_per_sec_chip": round(dev_per_chip, 2),
                 "device_only_int8_clips_per_sec_chip": int8_per_chip,
+                "int8_kernel_variants": {
+                    k: round(v, 2) for k, v in int8_variants.items()
+                } if int8_per_chip else None,
+                "int8_kernel": (max(int8_variants, key=int8_variants.get)
+                                if int8_variants else None),
                 "projected_e2e_clips_per_sec_chip": round(projected, 2),
                 "projected_vs_baseline": round(projected / BASELINE_EST_CLIPS_PER_SEC, 3),
                 "train_clips_per_sec_chip": train_clips,
