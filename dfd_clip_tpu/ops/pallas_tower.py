@@ -80,6 +80,7 @@ def _make_tower_kernel(
     int8_gemm: bool,
     int8_wo: bool,
     int8_attn: bool,
+    dma_export: bool,
     dt,
 ):
     w = heads * head_dim
@@ -91,13 +92,16 @@ def _make_tower_kernel(
             (wqkv_ref, wqs_ref, bqkv_ref, wo_ref, wos_ref, bo_ref,
              ln1s_ref, ln1b_ref,
              wfc_ref, wfcs_ref, bfc_ref, wproj_ref, wprojs_ref, bproj_ref,
-             ln2s_ref, ln2b_ref,
-             k_any, v_any, hbuf, kbuf, vbuf, sem) = rest
+             ln2s_ref, ln2b_ref, *tail) = rest
         else:
             (wqkv_ref, bqkv_ref, wo_ref, bo_ref, ln1s_ref, ln1b_ref,
              wfc_ref, bfc_ref, wproj_ref, bproj_ref, ln2s_ref, ln2b_ref,
-             k_any, v_any, hbuf, kbuf, vbuf, sem) = rest
+             *tail) = rest
             wqs_ref = wfcs_ref = wprojs_ref = wos_ref = None
+        if dma_export:
+            k_any, v_any, hbuf, kbuf, vbuf, sem = tail
+        else:
+            k_win, v_win, hbuf, sem = tail
         c = pl.program_id(0)
         l = pl.program_id(1)
 
@@ -183,22 +187,34 @@ def _make_tower_kernel(
                         bqkv_ref).astype(dt)
                    for h32 in hf32s]
 
-            # export: stage this group's K/V rows and launch the DMAs; the
-            # copies ride under the attention+MLP compute below
-            kcp = pltpu.make_async_copy(
-                kbuf, k_any.at[l - first, pl.ds(c * frames + base, group)],
-                sem.at[1])
-            vcp = pltpu.make_async_copy(
-                vbuf, v_any.at[l - first, pl.ds(c * frames + base, group)],
-                sem.at[2])
+            if dma_export:
+                # export: stage this group's K/V rows and launch the DMAs;
+                # the copies ride under the attention+MLP compute below
+                kcp = pltpu.make_async_copy(
+                    kbuf, k_any.at[l - first, pl.ds(c * frames + base, group)],
+                    sem.at[1])
+                vcp = pltpu.make_async_copy(
+                    vbuf, v_any.at[l - first, pl.ds(c * frames + base, group)],
+                    sem.at[2])
 
-            @pl.when(l >= first)
-            def _():
-                for i, xf in enumerate(xfs):
-                    kbuf[i] = xf[lo:, w : 2 * w]
-                    vbuf[i] = xf[lo:, 2 * w :]
-                kcp.start()
-                vcp.start()
+                @pl.when(l >= first)
+                def _():
+                    for i, xf in enumerate(xfs):
+                        kbuf[i] = xf[lo:, w : 2 * w]
+                        vbuf[i] = xf[lo:, 2 * w :]
+                    kcp.start()
+                    vcp.start()
+            else:
+                # windowed export (DFD_TOWER_EXPORT=window): write into the
+                # slot-indexed (1, F, T', W) output window. The window index
+                # is constant while l < first (slot clamps to 0), so the
+                # stale pre-export content is never flushed; the first flush
+                # happens when the slot advances past a REAL write.
+                @pl.when(l >= first)
+                def _():
+                    for i, xf in enumerate(xfs):
+                        k_win[0, base + i] = xf[lo:, w : 2 * w]
+                        v_win[0, base + i] = xf[lo:, 2 * w :]
 
             @pl.when(l < last)
             def _():
@@ -213,11 +229,12 @@ def _make_tower_kernel(
                     out2 = gemm(mid, wproj_ref, wprojs_ref, bproj_ref)
                     hbuf[base + i] = (hm + out2).astype(dt)
 
-            @pl.when(l >= first)
-            def _():
-                # the staging buffers are rewritten next group: fence here
-                kcp.wait()
-                vcp.wait()
+            if dma_export:
+                @pl.when(l >= first)
+                def _():
+                    # staging buffers are rewritten next group: fence here
+                    kcp.wait()
+                    vcp.wait()
 
             return carry
 
@@ -332,25 +349,47 @@ def fused_encoder_tower(
             lconst((1, w)), lconst((1, w)),
         ]
 
+    # Export mechanism: "dma" (default) writes K/V by manual async copy into
+    # ANY-space outputs — VMEM cost is one (group, T', W) staging pair.
+    # "window" uses slot-indexed output windows instead — simpler Mosaic
+    # surface (no in-kernel DMA), but two double-buffered (1, F, T', W)
+    # windows of VMEM; the fallback if the DMA form hits a lowering bug.
+    dma_export = os.environ.get("DFD_TOWER_EXPORT", "dma") != "window"
+    if dma_export:
+        out_specs = (
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        )
+        scratch = [
+            pltpu.VMEM((frames, t, w), dt),        # hbuf: the residual carry
+            pltpu.VMEM((group, t_out, w), dt),     # kbuf: K staging
+            pltpu.VMEM((group, t_out, w), dt),     # vbuf: V staging
+            pltpu.SemaphoreType.DMA((3,)),
+        ]
+    else:
+        kv_win = pl.BlockSpec(
+            (1, frames, t_out, w),
+            lambda cc, ll: (jnp.maximum(ll - first, 0), cc, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_specs = (kv_win, kv_win)
+        scratch = [
+            pltpu.VMEM((frames, t, w), dt),        # hbuf: the residual carry
+            pltpu.SemaphoreType.DMA((1,)),         # h-load only
+        ]
+
     k, v = pl.pallas_call(
         _make_tower_kernel(heads, head_dim, frames, group, first, last, t,
-                           drop_cls, int8_gemm, int8_wo, int8_attn, dt),
+                           drop_cls, int8_gemm, int8_wo, int8_attn,
+                           dma_export, dt),
         out_shape=(
             jax.ShapeDtypeStruct((nsel, n, t_out, w), dt),
             jax.ShapeDtypeStruct((nsel, n, t_out, w), dt),
         ),
         grid=(n // frames, last + 1),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((frames, t, w), dt),        # hbuf: the residual carry
-            pltpu.VMEM((group, t_out, w), dt),     # kbuf: K staging
-            pltpu.VMEM((group, t_out, w), dt),     # vbuf: V staging
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
         interpret=_interpret(),
         compiler_params=_compiler_params(),
     )(*inputs)

@@ -172,6 +172,29 @@ def test_megakernel_skipped_for_noncontiguous_keep(rng, monkeypatch):
         )
 
 
+@pytest.mark.parametrize("int8", [False, True])
+def test_megakernel_windowed_export(rng, monkeypatch, int8):
+    """DFD_TOWER_EXPORT=window: slot-indexed output windows instead of
+    manual DMA — the Mosaic-fallback export mechanism. Same math."""
+    cfg, params, x = _tower_io(rng)
+    keep = (1, 2)
+
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "xla")
+    want = clip_vision_kv(params, x, cfg, compute_dtype=jnp.float32,
+                          keep_layers=keep, drop_cls=True, compute_int8=int8)
+
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "pallas")
+    monkeypatch.setenv("DFD_MEGAKERNEL", "1")
+    monkeypatch.setenv("DFD_TOWER_EXPORT", "window")
+    got = clip_vision_kv(params, x, cfg, compute_dtype=jnp.float32,
+                         keep_layers=keep, drop_cls=True, compute_int8=int8)
+    tol = 5e-2 if int8 else 5e-4
+    for name in ("k", "v"):
+        np.testing.assert_allclose(
+            np.asarray(got[name]), np.asarray(want[name]), rtol=tol, atol=tol
+        )
+
+
 @pytest.mark.parametrize("frames,group", [(2, 2), (4, 2), (4, 1)])
 def test_megakernel_chunk_geometries(rng, monkeypatch, frames, group):
     """Chunk/group knobs change only the schedule, never the math."""
