@@ -130,7 +130,7 @@ KNOB_KEYS = ["DFD_FUSED_BLOCK", "DFD_DEC_STACK", "DFD_FRESH_ACC",
              "DFD_PHASE_MAJOR", "DFD_INT8_WO", "DFD_DEC_BATCHED",
              "DFD_VMEM_LIMIT_MB", "DFD_LADDER_KV_ROWS", "DFD_NO_CLAMP",
              "DFD_MEGAKERNEL", "DFD_TOWER_FRAMES", "DFD_TOWER_GROUP",
-             "DFD_INT8_ATTN"]
+             "DFD_INT8_ATTN", "DFD_TOWER_EXPORT"]
 
 # round-3b: the int8-wo / batched-decoder-grid / VMEM-raise knob set, timed
 # with the chained-slope method (chain_ladder below)
@@ -213,6 +213,8 @@ LADDERS["mega"] = [
     ("mega F=80 g=4 VMEM=96",
      {**_MEGA, "DFD_TOWER_FRAMES": "80", "DFD_VMEM_LIMIT_MB": "96"}, 1),
     ("mega F=40 g=2", {**_MEGA, "DFD_TOWER_GROUP": "2"}, 1),
+    ("mega F=20 windowed export",
+     {**_MEGA, "DFD_TOWER_FRAMES": "20", "DFD_TOWER_EXPORT": "window"}, 1),
 ]
 
 # int8 attention (logits/PV GEMMs on the int8 MXU) on top of the megakernel
