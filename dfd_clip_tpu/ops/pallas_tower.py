@@ -35,7 +35,6 @@ clip_vit.clip_vision_kv for the auto-selection rule).
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax
