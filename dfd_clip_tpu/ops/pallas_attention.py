@@ -209,14 +209,18 @@ def _quant_kv_rows(rows):
     return q, s
 
 
-def _attn_int8_cols(xf, heads, head_dim, scale):
-    """Encoder self-attention for one frame's packed qkv (T, 3W) with BOTH
-    GEMMs on the int8 MXU (DFD_INT8_ATTN): Q and K per-(row, head)
+def _attn_int8_cols(xf, heads, head_dim, scale, qk_only: bool = False):
+    """Encoder self-attention for one frame's packed qkv (T, 3W) with the
+    attention GEMMs on the int8 MXU (DFD_INT8_ATTN): Q and K per-(row, head)
     absmax-quantized, the exp'd probabilities per row, V per-channel-within-
     head. The dequant scales factor out of the contractions exactly
     (logits = (Qi Ki^T)·sq·sk^T, PV = (Pi Vi)·sp·sv); int8 rounding on the
     operands is the only approximation — gated end-to-end by the int8 AUROC
-    tests. Returns the per-head (T, D) f32 normalized outputs."""
+    tests. ``qk_only`` (DFD_INT8_ATTN=qk) keeps PV in bf16: the P
+    quantization is the error-dominant half (per-row absmax over an exp'd
+    distribution — small probabilities round to the quantum), while the
+    logits GEMM errs pre-softmax where it is gentlest. Returns the per-head
+    (T, D) f32 normalized outputs."""
     w = heads * head_dim
 
     def qrows(a):
@@ -240,6 +244,13 @@ def _attn_int8_cols(xf, heads, head_dim, scale):
               * (sq * (scale / (127.0 * 127.0))) * sk.T)
         p = _exp_probs(lg)
         rsum = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+        if qk_only:
+            pv = jax.lax.dot_general(
+                p.astype(xf.dtype), xf[:, col(2 * w, h)],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            cols.append(pv * rsum)
+            continue
         pi, sp = qrows(p)
         vf32 = xf[:, col(2 * w, h)].astype(jnp.float32)
         sv = jnp.max(jnp.abs(vf32), axis=0, keepdims=True) + 1e-8
@@ -524,7 +535,7 @@ def _make_full_block_kernel_phased(
     heads: int, head_dim: int, frames: int, export: bool, drop_cls: bool,
     stacked: bool = False, skip_inputs: int = 0, int8_gemm: bool = False,
     int8_wo: bool = False, kv_rows8: bool = False, mode: str = "full",
-    int8_attn: bool = False,
+    int8_attn: str = "0",
 ):
     """Phase-major variant of the whole-block kernel (DFD_PHASE_MAJOR).
 
@@ -598,8 +609,9 @@ def _make_full_block_kernel_phased(
 
         def attend(f, xf):
             """logits -> softmax -> mix -> out-proj -> residual for frame f."""
-            if int8_attn:
-                cols = _attn_int8_cols(xf, heads, head_dim, scale)
+            if int8_attn != "0":
+                cols = _attn_int8_cols(xf, heads, head_dim, scale,
+                                       qk_only=int8_attn == "qk")
                 return hfs[f].astype(jnp.float32) + oproj(
                     jnp.concatenate(cols, axis=-1))
             logits = [
@@ -710,10 +722,11 @@ def _make_full_block_kernel_phased(
             for f, xf in enumerate(xfs):
                 _write_kv_export((k_ref, v_ref, ks_ref, vs_ref), f, xf, w,
                                  drop_cls, stacked)
-        if int8_attn and mode in ("full", "attn"):
+        if int8_attn != "0" and mode in ("full", "attn"):
             hmids = [
                 hfs[f].astype(jnp.float32) + oproj(jnp.concatenate(
-                    _attn_int8_cols(xf, heads, head_dim, scale), axis=-1))
+                    _attn_int8_cols(xf, heads, head_dim, scale,
+                                    qk_only=int8_attn == "qk"), axis=-1))
                 for f, xf in enumerate(xfs)
             ]
         elif mode in ("full", "attn"):
@@ -1001,7 +1014,8 @@ def fused_encoder_block(
     # scoped-VMEM raise above). bf16 whole-block keeps frame-major — its
     # doubled live ranges don't fit alongside 14.1 MB of resident weights.
     phase = os.environ.get("DFD_PHASE_MAJOR", "1" if int8_gemm else "0")
-    int8_attn = int8_gemm and os.environ.get("DFD_INT8_ATTN", "0") == "1"
+    int8_attn = (os.environ.get("DFD_INT8_ATTN", "0")
+                 if int8_gemm else "0")
     if phase in ("1", "full", "mlp", "rows", "fr"):
         kern = _make_full_block_kernel_phased(
             heads, head_dim, frames, export, drop_cls, stacked=stacked,

@@ -78,7 +78,7 @@ def _make_tower_kernel(
     drop_cls: bool,
     int8_gemm: bool,
     int8_wo: bool,
-    int8_attn: bool,
+    int8_attn: str,
     dma_export: bool,
     dt,
 ):
@@ -151,8 +151,9 @@ def _make_tower_kernel(
 
             ``int8_attn`` (DFD_INT8_ATTN) also runs the two attention GEMMs
             on the int8 MXU (pallas_attention._attn_int8_cols)."""
-            if int8_attn:
-                cols = _attn_int8_cols(xf, heads, head_dim, scale)
+            if int8_attn != "0":
+                cols = _attn_int8_cols(xf, heads, head_dim, scale,
+                                       qk_only=int8_attn == "qk")
                 return hf32 + oproj(jnp.concatenate(cols, axis=-1))
             logits = [
                 jax.lax.dot_general(
@@ -311,7 +312,8 @@ def fused_encoder_tower(
         memory_space=pltpu.VMEM)
 
     int8_wo = int8_gemm and os.environ.get("DFD_INT8_WO", "1") == "1"
-    int8_attn = int8_gemm and os.environ.get("DFD_INT8_ATTN", "0") == "1"
+    int8_attn = (os.environ.get("DFD_INT8_ATTN", "0")
+                 if int8_gemm else "0")
     if int8_gemm:
         wqkv, wqs = _stack_q(blocks["attn"]["in_proj"], sl)
         wfc, wfcs = _stack_q(blocks["mlp"]["c_fc"], sl)

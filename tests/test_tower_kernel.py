@@ -62,7 +62,8 @@ def test_megakernel_matches_xla(rng, monkeypatch, drop_cls, int8):
         )
 
 
-def test_megakernel_int8_attention(rng, monkeypatch):
+@pytest.mark.parametrize("mode", ["1", "qk"])
+def test_megakernel_int8_attention(rng, monkeypatch, mode):
     """DFD_INT8_ATTN: the attention logits/PV GEMMs also run int8. An
     approximation (int8 rounding on Q/K/P/V), so the tolerance is the int8
     drift band; the end-to-end AUROC gate lives in test_int8_e2e.py."""
@@ -75,7 +76,7 @@ def test_megakernel_int8_attention(rng, monkeypatch):
 
     monkeypatch.setenv("DFD_ATTENTION_BACKEND", "pallas")
     monkeypatch.setenv("DFD_MEGAKERNEL", "1")
-    monkeypatch.setenv("DFD_INT8_ATTN", "1")
+    monkeypatch.setenv("DFD_INT8_ATTN", mode)
     got = clip_vision_kv(params, x, cfg, compute_dtype=jnp.float32,
                          keep_layers=keep, drop_cls=True, compute_int8=True)
     for name in ("k", "v"):

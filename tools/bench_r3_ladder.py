@@ -223,6 +223,8 @@ LADDERS["mega2"] = [
     ("mega + INT8_ATTN", {**_MEGA, "DFD_INT8_ATTN": "1"}, 1),
     ("mega + INT8_ATTN g=8",
      {**_MEGA, "DFD_INT8_ATTN": "1", "DFD_TOWER_GROUP": "8"}, 1),
+    ("mega + INT8_ATTN=qk (logits only)",
+     {**_MEGA, "DFD_INT8_ATTN": "qk"}, 1),
 ]
 
 # bf16 megakernel (weights 14.1 MB/layer double-buffered — VMEM-tighter, and
