@@ -250,16 +250,20 @@ LADDERS["r3c"] = [
 
 
 def build(compute_int8: int):
+    from dfd_clip_tpu.models.clip_vit import ARCHITECTURES
     from dfd_clip_tpu.models.detector import Detector
 
     op_mode = {"temporal_position": 1, "compute_int8": compute_int8}
     if os.environ.get("DFD_LADDER_KV_ROWS") == "1":
         op_mode["kv_dtype"] = "int8_rows"
+    arch = os.environ.get("BENCH_ARCH", "ViT-B/16")
+    layers = ARCHITECTURES[arch].layers  # keep-6 = the last 6 layers
     cfg = Detector.get_default_config()
     cfg.merge_from_other_cfg(
         {
+            "architecture": arch,
             "decode_mode": "index",
-            "decode_indices": [6, 7, 8, 9, 10, 11],
+            "decode_indices": list(range(layers - 6, layers)),
             "out_dim": [2],
             "losses": ["auc_roc"],
             "op_mode": op_mode,
