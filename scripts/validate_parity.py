@@ -208,6 +208,41 @@ def main(argv=None) -> int:
         print("int8 gate FAILED (kv cosine < 0.995 or logit cosine < 0.999)",
               file=sys.stderr)
 
+    # round-3 kernel variants on the same real weights: the whole-encoder
+    # megakernel and int8 attention (full + qk-only). Each must keep predict
+    # logit cosine >= 0.999 vs bf16 before being enabled in production.
+    # (On TPU these engage via the Pallas auto-backend; on a forced-CPU run
+    # they fall back to the XLA composition and reproduce the int8 figures.)
+    import os as _os
+
+    for tag, env in (
+        ("megakernel", {"DFD_MEGAKERNEL": "1"}),
+        ("megakernel_int8_attn_qk", {"DFD_MEGAKERNEL": "1",
+                                     "DFD_INT8_ATTN": "qk"}),
+        ("megakernel_int8_attn", {"DFD_MEGAKERNEL": "1",
+                                  "DFD_INT8_ATTN": "1"}),
+    ):
+        saved = {k: _os.environ.get(k) for k in env}
+        _os.environ.update(env)
+        try:
+            lv = np.asarray(jax.jit(
+                lambda p, x, m: det8.predict(p, x, m)[0][0]
+            )(dp, xb, mb), np.float32).ravel()
+        finally:
+            for k, old in saved.items():
+                if old is None:
+                    _os.environ.pop(k, None)
+                else:
+                    _os.environ[k] = old
+        vcos = float(np.dot(l16, lv) /
+                     (np.linalg.norm(l16) * np.linalg.norm(lv) + 1e-12))
+        report["int8"][f"logit_cosine_{tag}"] = vcos
+        print(f"[int8:{tag}] predict logit cosine={vcos:.6f}")
+        if vcos < 0.999:
+            report["ok"] = False
+            print(f"int8 {tag} gate FAILED (logit cosine < 0.999)",
+                  file=sys.stderr)
+
     if args.json:
         with open(args.json, "w") as f:
             json.dump(report, f, indent=2)
