@@ -188,7 +188,6 @@ def bench_train_step(num_steps: int = 10):
     optimizer = optim_lib.build_optimizer(
         model.optimizer_spec(), optim_lib.one_cycle_schedule(2.5e-3, 3000)
     )
-    opt_state = optimizer.init(trainable)
 
     def train_step(trainable, opt_state, frozen, x, y, m, rng):
         def loss_fn(tr):
@@ -201,8 +200,6 @@ def bench_train_step(num_steps: int = 10):
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         return optax.apply_updates(trainable, updates), opt_state, loss
 
-    step = jax.jit(train_step, donate_argnums=(0, 1))
-
     x = jax.device_put(
         np.random.default_rng(0).integers(
             0, 255, (batch, NUM_FRAMES, 3, RES, RES), np.uint8
@@ -212,19 +209,35 @@ def bench_train_step(num_steps: int = 10):
     m = jax.device_put(np.ones((batch, NUM_FRAMES), bool))
     rng = jax.random.key(1)
 
-    trainable, opt_state, loss = step(trainable, opt_state, frozen, x, y, m, rng)
-    float(loss)  # compile + sync (block_until_ready is a no-op on axon)
+    def measure(knobs):
+        """Median window time for the jitted step under trace-time knobs."""
+        os.environ.update(knobs)
+        step = jax.jit(train_step, donate_argnums=(0, 1))
+        # fresh device copies per rung: the donated originals are consumed
+        # by the first rung's step
+        tr = jax.tree_util.tree_map(lambda a: a + 0, trainable)
+        st = optimizer.init(tr)
+        tr, st, loss = step(tr, st, frozen, x, y, m, rng)
+        float(loss)  # compile + sync (block_until_ready is a no-op on axon)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(num_steps):
+                tr, st, loss = step(tr, st, frozen, x, y, m, rng)
+            float(loss)  # steps chain through params; one sync drains
+            times.append(time.perf_counter() - t0)
+        return sorted(times)[1]
 
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(num_steps):
-            trainable, opt_state, loss = step(
-                trainable, opt_state, frozen, x, y, m, rng
-            )
-        float(loss)  # steps chain through params; one sync drains the window
-        times.append(time.perf_counter() - t0)
-    elapsed = sorted(times)[1]
+    # Same-process A/B over the bf16 megakernel (the frozen-encoder forward
+    # inside the grad step runs exactly this mode); keep the faster, and
+    # never let a Mosaic failure on the opt-in rung sink the bench.
+    elapsed = measure({"DFD_MEGAKERNEL": "0"})
+    try:
+        elapsed = min(elapsed, measure({"DFD_MEGAKERNEL": "1"}))
+    except Exception as e:  # noqa: BLE001 — record, don't die
+        print(f"train megakernel rung failed: {type(e).__name__}: "
+              f"{str(e)[:120]}", file=sys.stderr)
+    os.environ.pop("DFD_MEGAKERNEL", None)
     n_chips = jax.device_count()
     return (
         batch * num_steps / elapsed / n_chips,
@@ -235,6 +248,26 @@ def bench_train_step(num_steps: int = 10):
 
 def main():
     import jax
+
+    # The axon backend has a transient fast-fail mode ("UNAVAILABLE: TPU
+    # backend setup/compile error") when the tunnel relay drops (observed
+    # round 3, recovery within minutes). Retry init a few times before
+    # giving up so a blip doesn't blank the round's bench artifact. (The
+    # other failure mode — init hanging on a wedged lease — is governed by
+    # the caller's timeout; retries can't help there.)
+    for attempt in range(5):
+        try:
+            jax.devices()
+            break
+        except RuntimeError as e:
+            if attempt == 4:
+                raise
+            print(f"backend init failed ({str(e)[:80]}); retry in 120 s",
+                  file=sys.stderr)
+            from jax._src import xla_bridge as _xb
+
+            _xb._clear_backends()  # drop the cached failure so retry re-inits
+            time.sleep(120)
 
     from dfd_clip_tpu.ops.image_ops import yuv420_to_rgb
 
@@ -394,12 +427,19 @@ def main():
         imodel = Detector(icfg, num_frames=NUM_FRAMES)
         iparams = imodel.prepare_params(params)  # pre-quantized int8 tower
 
-        # Same-process A/B over the whole-encoder megakernel (round-3
-        # structural lever, opt-in until chip-validated): measure both
-        # compositions, keep the faster; a Mosaic compile failure on one
-        # rung must never sink the bench.
-        for tag, knob in (("blocks", "0"), ("mega", "1")):
-            os.environ["DFD_MEGAKERNEL"] = knob
+        # Same-process A/B over the round-3 structural levers (whole-encoder
+        # megakernel; int8 logits/PV attention, full and qk-only — both
+        # AUROC-gated by tests/test_int8_e2e.py): measure each composition,
+        # keep the fastest; a Mosaic compile failure on one rung must never
+        # sink the bench.
+        AB = (
+            ("blocks", {"DFD_MEGAKERNEL": "0"}),
+            ("mega", {"DFD_MEGAKERNEL": "1"}),
+            ("mega_attn", {"DFD_MEGAKERNEL": "1", "DFD_INT8_ATTN": "1"}),
+            ("mega_qk", {"DFD_MEGAKERNEL": "1", "DFD_INT8_ATTN": "qk"}),
+        )
+        for tag, knobs in AB:
+            os.environ.update(knobs)
             try:
                 int8_variants[tag] = measure_device_only(
                     jax.jit(lambda p, x, m: imodel.predict(p, x, m)[0][0]),
@@ -407,7 +447,8 @@ def main():
             except Exception as e:  # noqa: BLE001 — record, don't die
                 print(f"int8 variant {tag} failed: {type(e).__name__}: "
                       f"{str(e)[:120]}", file=sys.stderr)
-        os.environ.pop("DFD_MEGAKERNEL", None)
+        for k in ("DFD_MEGAKERNEL", "DFD_INT8_ATTN"):
+            os.environ.pop(k, None)
         if int8_variants:
             int8_kernel = max(int8_variants, key=int8_variants.get)
             int8_per_chip = round(int8_variants[int8_kernel], 2)
