@@ -341,6 +341,16 @@ class Trainer(_Trainer):
             self._run_loop(prefetch_q)
         finally:
             stop_prefetch.set()
+            # Drain so a blocked put returns, then JOIN: a daemon thread
+            # still inside native decode at interpreter exit dies by forced
+            # unwind ("FATAL: exception not rethrown" -> SIGABRT) when it
+            # next touches the GIL (same teardown hazard as data/loader.py).
+            try:
+                while True:
+                    prefetch_q.get_nowait()
+            except _queue.Empty:
+                pass
+            producer_thread.join(timeout=30)
 
     def _run_loop(self, prefetch_q):
         while True:

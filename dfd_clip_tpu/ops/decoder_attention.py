@@ -97,10 +97,26 @@ def dual_activation_attention(
         backend = "pallas" if (jax.default_backend() == "tpu" and single) else "xla"
         if attention_ops.in_local_program() and os.environ.get("DFD_SPMD_PALLAS") == "1":
             backend = "pallas"  # CPU interp-mode testing of the spmd path
-    # The kernel defines no custom VJP: training steps differentiate through
-    # the decoder (its queries are trainable), so the Pallas path is
-    # inference-only. The encoder kernels never need this — their params are
-    # frozen and their exports stop_gradient'ed, so no tangents reach them.
+    # Training differentiates through the decoder (its queries and temporal
+    # pos are trainable). The kernel itself defines no VJP, but
+    # ops/decoder_attention_vjp.py wraps it in jax.custom_vjp: Pallas
+    # forward (partials mode), hand-written XLA backward over the saved
+    # softmax stats — so train steps keep the kernel's forward too.
+    # The encoder kernels never need this — their params are frozen and
+    # their exports stop_gradient'ed, so no tangents reach them.
+    if (
+        differentiable
+        and backend == "pallas"
+        and not attn_mode
+        and q_smax.shape[1] == 1
+        and k_scale is None
+        and os.environ.get("DFD_DEC_VJP", "1") != "0"
+    ):
+        from .decoder_attention_vjp import fused_decoder_attention_trainable
+
+        return fused_decoder_attention_trainable(
+            q_smax, q_coda, k, v, mask, temporal_pos, layer
+        )
     if differentiable:
         backend = "xla"
     if backend == "pallas" and not attn_mode and q_smax.shape[1] == 1:

@@ -1,0 +1,143 @@
+"""Trainable wrapper for the fused decoder-attention Pallas kernel.
+
+Round-2 verdict item: training steps differentiate through the decoder (its
+queries and temporal positional embedding are trainable), and the Pallas
+kernel defines no VJP — so every train step ran the decoder forward on the
+XLA composition (~3x the kernel's cost at flagship shapes,
+/root/reference/src/models.py:99-146 semantics).
+
+This module closes that gap with ``jax.custom_vjp``:
+
+* **Forward**: the unmodified Pallas kernel in ``partials`` mode
+  (ops/pallas_decoder_attention.py) — it already emits exactly the softmax
+  state a backward pass needs (un-normalized per-head numerator, CoDA
+  output, denominator, running max) because the sequence-parallel combine
+  (ops/spmd.py) needed the same state. The final normalize runs as a tiny
+  XLA epilogue, bit-matching the kernel's own in-kernel epilogue.
+* **Backward**: hand-written XLA einsums over the saved stats. K and V are
+  frozen-encoder exports (no tangents needed — their cotangents are
+  structural zeros the compiler drops), so the only gradients are the three
+  trainable leaves: q_smax, q_coda, temporal_pos. Affinities are
+  reconstructed from (denominator, max) in f32 — one logits GEMM + one
+  elementwise pass over K, the same reads the XLA backward pays anyway —
+  instead of re-running the full XLA forward (rematerialization would eat
+  the kernel's win) or saving the (B, L, H) affinity zoo from inside the
+  kernel (extra VMEM->HBM stores on the hot path).
+
+Gradient checks vs ``jax.grad`` of the XLA composition:
+tests/test_pallas_ops.py::test_decoder_vjp_*. Opt-out: DFD_DEC_VJP=0.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sum_to(x: jax.Array, shape) -> jax.Array:
+    """Reverse-broadcast reduce x to ``shape`` (for pos cotangents)."""
+    while x.ndim > len(shape):
+        x = x.sum(0)
+    for i, (have, want) in enumerate(zip(x.shape, shape)):
+        if want == 1 and have != 1:
+            x = x.sum(i, keepdims=True)
+    return x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def fused_decoder_attention_trainable(q_smax, q_coda, k, v, mask,
+                                      temporal_pos, layer):
+    """((B,1,H,D), (B,1,H,D), K, V, (B,L), pos, layer) -> (B,1,H,D).
+
+    K/V are (B, L, H, D), or the FULL stacked (Lsel, B, L, H, D) export
+    buffers with ``layer`` set (slot read inside the kernel's BlockSpec —
+    see fused_decoder_attention). Semantics == dual_activation_attention
+    with attn_mode=() and a single query."""
+    out, _ = _fwd(q_smax, q_coda, k, v, mask, temporal_pos, layer)
+    return out
+
+
+def _fwd(q_smax, q_coda, k, v, mask, temporal_pos, layer):
+    from .pallas_decoder_attention import fused_decoder_attention
+
+    b, _, h, d = q_smax.shape
+    o_sc, st = fused_decoder_attention(
+        q_smax, q_coda, k, v, mask, temporal_pos, layer=layer, partials=True
+    )
+    denom = st[:, 0]                                     # (B, H) f32
+    mx = st[:, 1]                                        # (B, H) f32
+    o_s = o_sc[:, 0].reshape(b, h, d) / jnp.maximum(denom, 1e-30)[..., None]
+    o_c = o_sc[:, 1].reshape(b, h, d)
+    cd = jnp.bfloat16 if k.dtype == jnp.int8 else k.dtype
+    out = (0.5 * (o_s + o_c)).astype(cd)[:, None]        # (B, 1, H, D)
+    return out, (q_smax, q_coda, k, v, mask, temporal_pos, denom, mx)
+
+
+def _bwd(layer, res, ct):
+    q_smax, q_coda, k, v, mask, temporal_pos, denom, mx = res
+    kl, vl = (k[layer], v[layer]) if layer is not None else (k, v)
+    b, l = mask.shape
+    _, _, h, d = q_smax.shape
+    s = d ** -0.5
+    f32 = jnp.float32
+
+    qs = q_smax[:, 0].astype(f32)                        # (B, H, D)
+    qc = q_coda[:, 0].astype(f32)
+    kp = kl.astype(f32)                                  # (B, L, H, D)
+    vp = vl.astype(f32)
+    if temporal_pos is not None:
+        pos = jnp.broadcast_to(temporal_pos, (l, h, d)).astype(f32)
+        kp = kp + pos[None]
+        vp = vp + pos[None]
+    m = mask[:, :, None]                                 # (B, L, 1) -> (B,L,H)
+    g0 = ct[:, 0].astype(f32)                            # (B, H, D)
+
+    # ---- reconstruct the affinities from the saved stats (f32) ----
+    ls = jnp.einsum("bhd,blhd->blh", qs * s, kp)
+    p = jnp.where(m, jnp.exp(ls - mx[:, None, :]), 0.0)
+    a_s = p / jnp.maximum(denom, 1e-30)[:, None, :]      # (B, L, H)
+    lc = jnp.einsum("bhd,blhd->blh", qc * s, kp)
+    t = jnp.tanh(lc)
+    u = jnp.sum(jnp.abs(qc[:, None] - kp), axis=-1)      # (B, L, H)
+    g_un = 2.0 * jax.nn.sigmoid(-u * s)
+    gate = jnp.where(m, g_un, 0.0)
+
+    # ---- cotangents; out = 0.5 * sum_l (a_s + tanh*gate) * vp ----
+    w = jnp.einsum("bhd,blhd->blh", g0, vp)              # d(a_s + a_c)
+    da = 0.5 * w
+    dls = a_s * (da - jnp.sum(a_s * da, axis=1, keepdims=True))
+    dt = da * gate
+    dgate = da * t
+    dlc = dt * (1.0 - t * t)
+    # gate = mask * 2*sigmoid(-u*s); d(2σ(x))/dx = g_un*(1 - g_un/2)
+    du = -s * jnp.where(m, dgate * g_un * (1.0 - 0.5 * g_un), 0.0)
+    sign = jnp.sign(qc[:, None] - kp)                    # (B, L, H, D)
+
+    dqs = s * jnp.einsum("blh,blhd->bhd", dls, kp)
+    dqc = (s * jnp.einsum("blh,blhd->bhd", dlc, kp)
+           + jnp.einsum("blh,blhd->bhd", du, sign))
+
+    dpos = None
+    if temporal_pos is not None:
+        dkp = (dls[..., None] * (qs[:, None] * s)
+               + dlc[..., None] * (qc[:, None] * s)
+               - du[..., None] * sign)                   # (B, L, H, D)
+        dvp = 0.5 * (a_s + t * gate)[..., None] * g0[:, None]
+        dpos = _sum_to(jnp.sum(dkp + dvp, axis=0), temporal_pos.shape)
+        dpos = dpos.astype(temporal_pos.dtype)
+
+    dmask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
+    return (
+        dqs[:, None].astype(q_smax.dtype),
+        dqc[:, None].astype(q_coda.dtype),
+        jnp.zeros_like(k),   # frozen export: cotangent is dead at trace time
+        jnp.zeros_like(v),
+        dmask,
+        dpos,
+    )
+
+
+fused_decoder_attention_trainable.defvjp(_fwd, _bwd)

@@ -441,10 +441,10 @@ def test_decoder_stack_boundary_matches_xla(rng, monkeypatch, global_pred):
 
 
 def test_decoder_training_grad_skips_kernel(rng, monkeypatch):
-    """Training differentiates through the decoder; the Pallas kernel has no
-    custom VJP, so with the pallas backend forced the train=True path must
-    still be differentiable (it routes to XLA), while train=False runs the
-    kernel."""
+    """Training differentiates through the decoder; with the pallas backend
+    forced the train=True path must be differentiable end-to-end (it routes
+    through the custom-VJP wrapper — or XLA with DFD_DEC_VJP=0), while
+    train=False runs the kernel directly."""
     from dfd_clip_tpu.models import decoder as decoder_lib
     from dfd_clip_tpu.models.decoder import DecoderConfig, init_decoder
 
@@ -473,3 +473,89 @@ def test_decoder_training_grad_skips_kernel(rng, monkeypatch):
     # inference path still produces finite logits through the kernel
     logits, _ = decoder_lib.apply_decoder(params, kvs, m, cfg, train=False)
     assert np.isfinite(np.asarray(logits[0])).all()
+
+
+@pytest.mark.parametrize("stacked", [False, True])
+@pytest.mark.parametrize("with_pos", [False, True])
+def test_decoder_vjp_grad_parity(rng, monkeypatch, stacked, with_pos):
+    """The custom-VJP training path (Pallas forward in partials mode +
+    hand-written XLA backward, ops/decoder_attention_vjp.py) must produce
+    the same gradients as jax.grad through the XLA composition — for the
+    trainable leaves (q_smax, q_coda, temporal_pos) — including masked
+    tokens and a fully-masked sample."""
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "pallas")
+    b, h, d, t, p = 3, 4, 32, 5, 8   # hd=128, 2h=8 -> batched-grid geometry
+    l = t * p
+    qs = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+    qc = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+    if stacked:
+        k = jnp.asarray(rng.standard_normal((2, b, l, h, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((2, b, l, h, d)), jnp.float32)
+        layer = 1
+    else:
+        k = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+        layer = None
+    pos = (jnp.asarray(0.2 * rng.standard_normal((l, h, d)), jnp.float32)
+           if with_pos else None)
+    mask = np.ones((b, l), bool)
+    mask[1, 3 * p:] = False
+    mask[2, :] = False               # fully-masked sample: grads must be 0
+    mask = jnp.asarray(mask)
+    r = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+
+    def loss(qs, qc, pos, differentiable):
+        out = dual_activation_attention(
+            qs, qc, k, v, mask, num_frames=t, temporal_pos=pos,
+            layer=layer, differentiable=differentiable)
+        return jnp.sum(out.astype(jnp.float32) * r)
+
+    argnums = (0, 1, 2) if with_pos else (0, 1)
+    got = jax.grad(lambda *a: loss(*a, pos=pos, differentiable=True)
+                   if not with_pos else loss(*a, differentiable=True),
+                   argnums=argnums)(qs, qc, *((pos,) if with_pos else ()))
+    monkeypatch.setenv("DFD_DEC_VJP", "0")   # XLA fwd + autodiff bwd
+    want = jax.grad(lambda *a: loss(*a, pos=pos, differentiable=True)
+                    if not with_pos else loss(*a, differentiable=True),
+                    argnums=argnums)(qs, qc, *((pos,) if with_pos else ()))
+    for g, w, name in zip(got, want, ("q_smax", "q_coda", "pos")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+    # value parity of the partials-reconstructed forward itself
+    monkeypatch.setenv("DFD_DEC_VJP", "1")
+    out_vjp = dual_activation_attention(
+        qs, qc, k, v, mask, num_frames=t, temporal_pos=pos, layer=layer,
+        differentiable=True)
+    out_xla = dual_activation_attention(
+        qs, qc, k, v, mask, num_frames=t, temporal_pos=pos, layer=layer,
+        differentiable=False, )
+    np.testing.assert_allclose(np.asarray(out_vjp), np.asarray(out_xla),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_decoder_vjp_classic_grid_geometry(rng, monkeypatch):
+    """Small-head geometry (2H % 8 != 0) falls back to the classic
+    samples-outer grid; the VJP path must agree there too."""
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "pallas")
+    b, h, d, t, p = 2, 2, 64, 3, 8
+    l = t * p
+    qs = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+    qc = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+    pos = jnp.asarray(0.2 * rng.standard_normal((l, h, d)), jnp.float32)
+    mask = jnp.asarray(np.ones((b, l), bool))
+
+    def loss(qs, qc, pos):
+        out = dual_activation_attention(
+            qs, qc, k, v, mask, num_frames=t, temporal_pos=pos,
+            differentiable=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    got = jax.grad(loss, argnums=(0, 1, 2))(qs, qc, pos)
+    monkeypatch.setenv("DFD_DEC_VJP", "0")
+    want = jax.grad(loss, argnums=(0, 1, 2))(qs, qc, pos)
+    for g, w, name in zip(got, want, ("q_smax", "q_coda", "pos")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
