@@ -172,33 +172,43 @@ def bench_train_step(num_steps: int = 10):
     from dfd_clip_tpu.models.detector import Detector
 
     batch = int(os.environ.get("BENCH_TRAIN_BATCH", "12"))
-    cfg = Detector.get_default_config()
-    cfg.merge_from_other_cfg(
-        {
-            "decode_mode": "index",
-            "decode_indices": [6, 7, 8, 9, 10, 11],
-            "out_dim": [2],
-            "losses": ["auc_roc"],
-            "dropout": 0.5,
-        }
-    )
-    model = Detector(cfg, num_frames=NUM_FRAMES)
+
+    def build(op_mode=None):
+        cfg = Detector.get_default_config()
+        cfg.merge_from_other_cfg(
+            {
+                "decode_mode": "index",
+                "decode_indices": [6, 7, 8, 9, 10, 11],
+                "out_dim": [2],
+                "losses": ["auc_roc"],
+                "dropout": 0.5,
+                **({"op_mode": op_mode} if op_mode else {}),
+            }
+        )
+        return Detector(cfg, num_frames=NUM_FRAMES)
+
+    model = build()
     params = model.init_params(jax.random.key(0))
     trainable, frozen = model.partition_params(params)
     optimizer = optim_lib.build_optimizer(
         model.optimizer_spec(), optim_lib.one_cycle_schedule(2.5e-3, 3000)
     )
 
-    def train_step(trainable, opt_state, frozen, x, y, m, rng):
-        def loss_fn(tr):
-            task_losses, _, other = model.forward(
-                {**frozen, **tr}, x, [y], m, train=True, single_task=0, rng=rng
-            )
-            return task_losses[0].mean() + sum(v.mean() for v in other.values())
+    def make_step(mdl):
+        def train_step(trainable, opt_state, frozen, x, y, m, rng):
+            def loss_fn(tr):
+                task_losses, _, other = mdl.forward(
+                    {**frozen, **tr}, x, [y], m, train=True, single_task=0,
+                    rng=rng
+                )
+                return task_losses[0].mean() + sum(
+                    v.mean() for v in other.values())
 
-        loss, grads = jax.value_and_grad(loss_fn)(trainable)
-        updates, opt_state = optimizer.update(grads, opt_state, trainable)
-        return optax.apply_updates(trainable, updates), opt_state, loss
+            loss, grads = jax.value_and_grad(loss_fn)(trainable)
+            updates, opt_state = optimizer.update(grads, opt_state, trainable)
+            return optax.apply_updates(trainable, updates), opt_state, loss
+
+        return train_step
 
     x = jax.device_put(
         np.random.default_rng(0).integers(
@@ -209,10 +219,10 @@ def bench_train_step(num_steps: int = 10):
     m = jax.device_put(np.ones((batch, NUM_FRAMES), bool))
     rng = jax.random.key(1)
 
-    def measure(knobs):
+    def measure(knobs, mdl=model):
         """Median window time for the jitted step under trace-time knobs."""
         os.environ.update(knobs)
-        step = jax.jit(train_step, donate_argnums=(0, 1))
+        step = jax.jit(make_step(mdl), donate_argnums=(0, 1))
         # fresh device copies per rung: the donated originals are consumed
         # by the first rung's step
         tr = jax.tree_util.tree_map(lambda a: a + 0, trainable)
@@ -237,12 +247,29 @@ def bench_train_step(num_steps: int = 10):
     except Exception as e:  # noqa: BLE001 — record, don't die
         print(f"train megakernel rung failed: {type(e).__name__}: "
               f"{str(e)[:120]}", file=sys.stderr)
+
+    # int8 TRAINING (op_mode.compute_int8 on the frozen-encoder forward of
+    # the grad step — same param pytree, quantization is compute-time only;
+    # learning gated by tests/test_int8_e2e.py::test_int8_trained_auroc_holds).
+    # Reported separately; the headline stays the reference-matching bf16
+    # envelope.
+    int8_elapsed = None
+    if os.environ.get("BENCH_SKIP_TRAIN_INT8") != "1":
+        imodel = build({"compute_int8": 1})
+        for knob in ("0", "1"):
+            try:
+                t = measure({"DFD_MEGAKERNEL": knob}, mdl=imodel)
+                int8_elapsed = t if int8_elapsed is None else min(int8_elapsed, t)
+            except Exception as e:  # noqa: BLE001 — record, don't die
+                print(f"train int8 rung (mega={knob}) failed: "
+                      f"{type(e).__name__}: {str(e)[:120]}", file=sys.stderr)
     os.environ.pop("DFD_MEGAKERNEL", None)
     n_chips = jax.device_count()
     return (
         batch * num_steps / elapsed / n_chips,
         num_steps / elapsed,
         batch,
+        batch * num_steps / int8_elapsed / n_chips if int8_elapsed else None,
     )
 
 
@@ -456,10 +483,11 @@ def main():
     # training-step throughput (round-3 verdict #3): the reference's actual
     # workload is a 3k-step training run; report clips/s/chip + steps/s for
     # the jitted train step at the canonical batch-12 envelope.
-    train_clips = train_steps = train_batch = None
+    train_clips = train_steps = train_batch = train_int8_clips = None
     if os.environ.get("BENCH_SKIP_TRAIN") != "1":
-        tc, ts, train_batch = bench_train_step()
+        tc, ts, train_batch, ti = bench_train_step()
         train_clips, train_steps = round(tc, 2), round(ts, 3)
+        train_int8_clips = round(ti, 2) if ti else None
 
     # Projected e2e on a stated production host (round-3 verdict #6): the
     # dev-box `value` is dominated by ambient tunnel weather (75 -> 18.5 ->
@@ -494,6 +522,7 @@ def main():
                 "train_clips_per_sec_chip": train_clips,
                 "train_steps_per_sec": train_steps,
                 "train_batch_clips": train_batch,
+                "train_int8_clips_per_sec_chip": train_int8_clips,
                 "tunnel_h2d_mbps": round(tunnel_mbps, 1),
                 "note": "value = honest e2e on this dev host (1 CPU core, "
                         "tunnel_h2d_mbps link); projected_e2e = min(device "

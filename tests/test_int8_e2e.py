@@ -123,3 +123,38 @@ def test_bf16_trained_megakernel_int8_attn_scored_auroc_holds(
     assert auc_mega > 0.9, (
         f"megakernel int8-attn scoring broke the signal: AUROC {auc_mega}")
     assert abs(auc_bf16 - auc_mega) < 0.05, (auc_bf16, auc_mega)
+
+
+def test_int8_trained_auroc_holds(tmp_path, monkeypatch):
+    """int8 TRAINING gate: the encoder is frozen even during training, so
+    the W8A8 tower is usable for the training forward too (the train step's
+    dominant term; the reference trains fp32/TF32 with no such option,
+    src/trainer.py:98-203). A model trained WITH op_mode.compute_int8 must
+    learn the separable fixture, and its AUROC must hold whether scored
+    int8 (the consistent path) or bf16."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("DFD_VIDEO_BACKEND", "opencv")
+    root = make_separable_ffpp_tree(str(tmp_path / "ffpp"))
+
+    runtime = MeshRuntime()
+    det = tiny_detector(op_mode={"temporal_position": 1, "compute_int8": 1})
+    train_ds = FFPP(ffpp_config(root, random_speed=0), num_frames=4,
+                    clip_duration=2, runtime=runtime, split="train", index=0)
+    cfg = Trainer.get_default_config()
+    cfg.max_steps = 30
+    cfg.batch_size = 16 // runtime.data_parallel or 1
+    cfg.num_workers = 0
+    cfg.learning_rate = 3e-3
+    cfg.metrics = [CN({"name": "deepfake/ffpp", "types": ["roc_auc"]})]
+    trainer = Trainer(cfg, runtime, det, [train_ds])
+    trainer.run()
+
+    auc_int8 = _auroc(root, runtime, trainer)  # scored on the trained path
+
+    det_bf16 = tiny_detector()
+    trainer.model = det_bf16
+    auc_bf16 = _auroc(root, runtime, trainer)
+
+    assert auc_int8 > 0.9, f"int8-trained model failed to learn: {auc_int8}"
+    assert auc_bf16 > 0.9, f"bf16 scoring of int8-trained model: {auc_bf16}"
+    assert abs(auc_int8 - auc_bf16) < 0.05, (auc_int8, auc_bf16)
