@@ -66,13 +66,16 @@ def dual_activation_attention(
     # Multi-device: run the kernel per shard inside shard_map with an exact
     # cross-shard softmax combine (ops/spmd.py). Selected before the backend
     # resolution below because on a multi-device jit "auto" must otherwise
-    # fall back to XLA (Pallas carries no GSPMD rules).
+    # fall back to XLA (Pallas carries no GSPMD rules). Training takes the
+    # custom-VJP form (same sharded forward; stats-based XLA backward that
+    # GSPMD partitions itself) so multi-chip train steps keep the kernel too.
     if (
-        not differentiable
-        and not attn_mode
+        not attn_mode
         and q_smax.shape[1] == 1
         and k_scale is None  # spmd combine not yet plumbed for int8_rows
         and os.environ.get("DFD_ATTENTION_BACKEND", "auto") != "xla"
+        and not (differentiable
+                 and os.environ.get("DFD_DEC_VJP", "1") == "0")
     ):
         from . import spmd
 
@@ -81,6 +84,14 @@ def dual_activation_attention(
             b = q_smax.shape[0]
             l = k.shape[2] if layer is not None else k.shape[1]
             if spmd.decoder_shapes_ok(b, l, mesh):
+                if differentiable:
+                    from .decoder_attention_vjp import (
+                        spmd_decoder_attention_trainable,
+                    )
+
+                    return spmd_decoder_attention_trainable(
+                        q_smax, q_coda, k, v, mask, temporal_pos, layer, mesh
+                    )
                 return spmd.spmd_decoder_attention(
                     q_smax, q_coda, k, v, mask, temporal_pos, layer, mesh
                 )

@@ -76,8 +76,13 @@ def _fwd(q_smax, q_coda, k, v, mask, temporal_pos, layer):
     return out, (q_smax, q_coda, k, v, mask, temporal_pos, denom, mx)
 
 
-def _bwd(layer, res, ct):
-    q_smax, q_coda, k, v, mask, temporal_pos, denom, mx = res
+def _bwd_math(layer, q_smax, q_coda, k, v, mask, temporal_pos, denom, mx, ct):
+    """Cotangents (dq_smax, dq_coda, dpos) from the saved softmax stats.
+
+    Plain jnp ops — on a multi-device mesh GSPMD partitions these einsums
+    over the same (data, seq) sharding as the forward and inserts the
+    L-reduction collectives itself (only the Pallas forward needs the
+    shard_map wrapper)."""
     kl, vl = (k[layer], v[layer]) if layer is not None else (k, v)
     b, l = mask.shape
     _, _, h, d = q_smax.shape
@@ -129,15 +134,61 @@ def _bwd(layer, res, ct):
         dpos = _sum_to(jnp.sum(dkp + dvp, axis=0), temporal_pos.shape)
         dpos = dpos.astype(temporal_pos.dtype)
 
-    dmask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
+    return dqs[:, None].astype(q_smax.dtype), dqc[:, None].astype(q_coda.dtype), dpos
+
+
+def _bwd(layer, res, ct):
+    q_smax, q_coda, k, v, mask, temporal_pos, denom, mx = res
+    dqs, dqc, dpos = _bwd_math(layer, q_smax, q_coda, k, v, mask,
+                               temporal_pos, denom, mx, ct)
     return (
-        dqs[:, None].astype(q_smax.dtype),
-        dqc[:, None].astype(q_coda.dtype),
+        dqs,
+        dqc,
         jnp.zeros_like(k),   # frozen export: cotangent is dead at trace time
         jnp.zeros_like(v),
-        dmask,
+        np.zeros(mask.shape, dtype=jax.dtypes.float0),
         dpos,
     )
 
 
 fused_decoder_attention_trainable.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def spmd_decoder_attention_trainable(q_smax, q_coda, k, v, mask,
+                                     temporal_pos, layer, mesh):
+    """Multi-chip trainable form: shard_map-Pallas forward over the
+    (data, seq) mesh (ops/spmd.py partials combine), stats-based XLA
+    backward that GSPMD partitions itself. Keeps the decoder kernel in
+    multi-device TRAIN steps — previously only inference had the spmd
+    path (round-2 verdict #2); training fell back to the XLA forward."""
+    out, _ = _spmd_fwd(q_smax, q_coda, k, v, mask, temporal_pos, layer, mesh)
+    return out
+
+
+def _spmd_fwd(q_smax, q_coda, k, v, mask, temporal_pos, layer, mesh):
+    from . import spmd
+
+    out, denom, mx = spmd.spmd_decoder_attention(
+        q_smax, q_coda, k, v, mask, temporal_pos, layer, mesh,
+        return_stats=True)
+    b, _, h, d = q_smax.shape
+    out = out.reshape(b, 1, h, d)
+    return out, (q_smax, q_coda, k, v, mask, temporal_pos, denom, mx)
+
+
+def _spmd_bwd(layer, mesh, res, ct):
+    q_smax, q_coda, k, v, mask, temporal_pos, denom, mx = res
+    dqs, dqc, dpos = _bwd_math(layer, q_smax, q_coda, k, v, mask,
+                               temporal_pos, denom, mx, ct)
+    return (
+        dqs,
+        dqc,
+        jnp.zeros_like(k),
+        jnp.zeros_like(v),
+        np.zeros(mask.shape, dtype=jax.dtypes.float0),
+        dpos,
+    )
+
+
+spmd_decoder_attention_trainable.defvjp(_spmd_fwd, _spmd_bwd)

@@ -116,12 +116,17 @@ def spmd_decoder_attention(
     temporal_pos: Optional[jax.Array],
     layer: Optional[int],
     mesh: Mesh,
+    return_stats: bool = False,
 ) -> jax.Array:
     """Sequence-sharded fused decoder attention with exact combine.
 
     q_*: (B, 1, H, D); k/v: (B, L, H, D) or stacked (Lsel, B, L, H, D) with
     ``layer`` selecting the slot; mask: (B, L); temporal_pos: (L, H, D) or
     None. B shards over ``data``, L over ``seq``.
+
+    ``return_stats``: also return the combined (denominator, running max)
+    — each (B, H) f32 — for the stats-based training backward
+    (ops/decoder_attention_vjp.py:spmd_decoder_attention_trainable).
     """
     from .pallas_decoder_attention import fused_decoder_attention
 
@@ -143,7 +148,10 @@ def spmd_decoder_attention(
         den = jax.lax.psum(d_loc * r, SEQ_AXIS)
         o_s = num / jnp.maximum(den, 1e-30)[..., None]    # fully-masked -> 0
         o_c = jax.lax.psum(o_c_loc, SEQ_AXIS)
-        return (0.5 * (o_s + o_c))[:, None].astype(vl.dtype)
+        out = (0.5 * (o_s + o_c))[:, None].astype(vl.dtype)
+        if return_stats:
+            return out, den, gmax  # den/gmax replicated over seq post-psum
+        return out
 
     stacked = k.ndim == 5
     kv_spec = P(None, DATA_AXIS, SEQ_AXIS) if stacked else P(DATA_AXIS, SEQ_AXIS)
@@ -156,7 +164,8 @@ def spmd_decoder_attention(
             temporal_pos, (k.shape[2] if stacked else k.shape[1],
                            heads, head_dim)
         ))
+    out_specs = ((P(DATA_AXIS),) * 3) if return_stats else P(DATA_AXIS)
     return jax.shard_map(
-        body, mesh=mesh, in_specs=tuple(in_specs), out_specs=P(DATA_AXIS),
+        body, mesh=mesh, in_specs=tuple(in_specs), out_specs=out_specs,
         check_vma=False,  # Pallas outputs carry no vma annotations yet
     )(*args)

@@ -186,3 +186,35 @@ def test_spmd_falls_back_on_indivisible_shapes(rng, mesh42, monkeypatch):
     m = np.ones((3, 3), bool)
     logits, _ = model.predict(params, x, m)
     assert np.isfinite(np.asarray(logits[0])).all()
+
+
+def test_spmd_decoder_vjp_grad_parity(rng, mesh42, monkeypatch):
+    """Multi-chip TRAINING keeps the decoder kernel: the spmd custom-VJP
+    form (shard_map-Pallas forward + stats-based GSPMD backward,
+    ops/decoder_attention_vjp.py) must match jax.grad of the multi-device
+    XLA composition for q_smax, q_coda and temporal_pos."""
+    monkeypatch.setenv("DFD_SPMD_PALLAS", "1")
+    b, h, d, t, p = 4, 4, 64, 4, 8
+    l = t * p
+    qs = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+    qc = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, b, l, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, b, l, h, d)), jnp.float32)
+    pos = jnp.asarray(0.2 * rng.standard_normal((l, h, d)), jnp.float32)
+    mask = np.ones((b, l), bool)
+    mask[1, p:] = False
+    mask = jnp.asarray(mask)
+    r = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+
+    def loss(qs, qc, pos):
+        out = dual_activation_attention(
+            qs, qc, k, v, mask, num_frames=t, temporal_pos=pos, layer=1,
+            differentiable=True)
+        return jnp.sum(out.astype(jnp.float32) * r)
+
+    got = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(qs, qc, pos)
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "xla")
+    want = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(qs, qc, pos)
+    for g, w, name in zip(got, want, ("q_smax", "q_coda", "pos")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
