@@ -72,8 +72,10 @@ def dual_activation_attention(
     if (
         not attn_mode
         and q_smax.shape[1] == 1
-        and k_scale is None  # spmd combine not yet plumbed for int8_rows
         and os.environ.get("DFD_ATTENTION_BACKEND", "auto") != "xla"
+        # int8_rows trains on the XLA path (VJP not plumbed for scales);
+        # inference shards the scales like K/V and dequantizes per tile
+        and (k_scale is None or not differentiable)
         and not (differentiable
                  and os.environ.get("DFD_DEC_VJP", "1") == "0")
     ):
@@ -93,7 +95,8 @@ def dual_activation_attention(
                         q_smax, q_coda, k, v, mask, temporal_pos, layer, mesh
                     )
                 return spmd.spmd_decoder_attention(
-                    q_smax, q_coda, k, v, mask, temporal_pos, layer, mesh
+                    q_smax, q_coda, k, v, mask, temporal_pos, layer, mesh,
+                    k_scale=k_scale, v_scale=v_scale,
                 )
 
     # auto: the Pallas kernel on TPU (stacked-input form measured 10.7 vs

@@ -117,6 +117,8 @@ def spmd_decoder_attention(
     layer: Optional[int],
     mesh: Mesh,
     return_stats: bool = False,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Sequence-sharded fused decoder attention with exact combine.
 
@@ -127,16 +129,26 @@ def spmd_decoder_attention(
     ``return_stats``: also return the combined (denominator, running max)
     — each (B, H) f32 — for the stats-based training backward
     (ops/decoder_attention_vjp.py:spmd_decoder_attention_trainable).
+
+    ``k_scale``/``v_scale``: per-row int8_rows dequant scales ((B, L, 1) or
+    stacked (Lsel, B, L, 1) f32) — sharded like K/V over (data, seq); the
+    per-shard kernel dequantizes its local tile in VMEM exactly as on a
+    single chip, and the combine math is scale-free.
     """
     from .pallas_decoder_attention import fused_decoder_attention
 
     heads, head_dim = q_smax.shape[2], q_smax.shape[3]
+    deq = k_scale is not None
 
     def body(qs, qc, kl, vl, m, *rest):
+        rest = list(rest)
+        ks = rest.pop(0) if deq else None
+        vs = rest.pop(0) if deq else None
         pos = rest[0] if rest else None
         with attention_ops.local_program():
             o_sc, st = fused_decoder_attention(
-                qs, qc, kl, vl, m, pos, layer=layer, partials=True
+                qs, qc, kl, vl, m, pos, layer=layer, partials=True,
+                k_scale=ks, v_scale=vs,
             )
         b = o_sc.shape[0]
         num_un = o_sc[:, 0].reshape(b, heads, head_dim)   # rel. to local max
@@ -148,7 +160,8 @@ def spmd_decoder_attention(
         den = jax.lax.psum(d_loc * r, SEQ_AXIS)
         o_s = num / jnp.maximum(den, 1e-30)[..., None]    # fully-masked -> 0
         o_c = jax.lax.psum(o_c_loc, SEQ_AXIS)
-        out = (0.5 * (o_s + o_c))[:, None].astype(vl.dtype)
+        cd = jnp.bfloat16 if vl.dtype == jnp.int8 else vl.dtype
+        out = (0.5 * (o_s + o_c))[:, None].astype(cd)
         if return_stats:
             return out, den, gmax  # den/gmax replicated over seq post-psum
         return out
@@ -158,6 +171,9 @@ def spmd_decoder_attention(
     in_specs = [P(DATA_AXIS), P(DATA_AXIS), kv_spec, kv_spec,
                 P(DATA_AXIS, SEQ_AXIS)]
     args = [q_smax, q_coda, k, v, mask]
+    if deq:
+        in_specs += [kv_spec, kv_spec]
+        args += [k_scale, v_scale]
     if temporal_pos is not None:
         in_specs.append(P(SEQ_AXIS))
         args.append(jnp.broadcast_to(

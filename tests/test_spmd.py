@@ -218,3 +218,39 @@ def test_spmd_decoder_vjp_grad_parity(rng, mesh42, monkeypatch):
     for g, w, name in zip(got, want, ("q_smax", "q_coda", "pos")):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_spmd_decoder_int8_rows_matches_xla(rng, mesh42, monkeypatch):
+    """int8_rows K/V through the spmd combine: per-shard in-VMEM dequant ==
+    the XLA dequant path, stacked buffers + per-row scales sharded like K/V."""
+    monkeypatch.setenv("DFD_SPMD_PALLAS", "1")
+    b, h, d, t, p = 4, 4, 64, 4, 8
+    l = t * p
+    qs = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+    qc = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+    kf = rng.standard_normal((2, b, l, h, d)).astype(np.float32)
+    vf = rng.standard_normal((2, b, l, h, d)).astype(np.float32)
+
+    def quant_rows(x):
+        s = np.abs(x).reshape(*x.shape[:3], -1).max(-1, keepdims=True) / 127.0
+        s = np.maximum(s, 1e-8)
+        q = np.clip(np.round(x / s[..., None]), -127, 127).astype(np.int8)
+        return jnp.asarray(q), jnp.asarray(s.astype(np.float32))
+
+    k, ks = quant_rows(kf)
+    v, vs = quant_rows(vf)
+    pos = jnp.asarray(0.2 * rng.standard_normal((l, h, d)), jnp.float32)
+    mask = np.ones((b, l), bool)
+    mask[0, 2 * p:] = False
+    mask = jnp.asarray(mask)
+
+    got = dual_activation_attention(
+        qs, qc, k, v, mask, num_frames=t, temporal_pos=pos, layer=1,
+        k_scale=ks, v_scale=vs)
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "xla")
+    want = dual_activation_attention(
+        qs, qc, k, v, mask, num_frames=t, temporal_pos=pos, layer=1,
+        k_scale=ks, v_scale=vs)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=2e-3)
