@@ -46,6 +46,7 @@ def main():
     cfg = SSLTrainer.get_default_config()
     cfg.arch = os.environ.get("BENCH_SSL_ARCH", "ViT-B/14")
     cfg.batch_size = int(os.environ.get("BENCH_SSL_BATCH", "8"))
+    cfg.fsdp = int(os.environ.get("BENCH_SSL_FSDP", "0"))
     cfg.checkpoint_interval = 0
     runtime = MeshRuntime()
     tr = SSLTrainer(cfg, runtime, RandomImages())
