@@ -158,3 +158,31 @@ def test_int8_trained_auroc_holds(tmp_path, monkeypatch):
     assert auc_int8 > 0.9, f"int8-trained model failed to learn: {auc_int8}"
     assert auc_bf16 > 0.9, f"bf16 scoring of int8-trained model: {auc_bf16}"
     assert abs(auc_int8 - auc_bf16) < 0.05, (auc_int8, auc_bf16)
+
+
+def test_train_through_decoder_vjp_learns(tmp_path, monkeypatch):
+    """End-to-end learning through the decoder custom VJP: with the pallas
+    backend forced (interpret mode on CPU), train steps route the decoder
+    forward through the kernel and the backward through the hand-written
+    stats-based VJP (ops/decoder_attention_vjp.py) — the trained model must
+    still learn the separable fixture."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("DFD_VIDEO_BACKEND", "opencv")
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "pallas")
+    root = make_separable_ffpp_tree(str(tmp_path / "ffpp"))
+
+    runtime = MeshRuntime()
+    det = tiny_detector(op_mode={"temporal_position": 1})
+    train_ds = FFPP(ffpp_config(root, random_speed=0), num_frames=4,
+                    clip_duration=2, runtime=runtime, split="train", index=0)
+    cfg = Trainer.get_default_config()
+    cfg.max_steps = 30
+    cfg.batch_size = 16 // runtime.data_parallel or 1
+    cfg.num_workers = 0
+    cfg.learning_rate = 3e-3
+    cfg.metrics = [CN({"name": "deepfake/ffpp", "types": ["roc_auc"]})]
+    trainer = Trainer(cfg, runtime, det, [train_ds])
+    trainer.run()
+
+    auc = _auroc(root, runtime, trainer)
+    assert auc > 0.9, f"VJP-path training failed to learn: AUROC {auc}"
