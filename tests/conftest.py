@@ -10,9 +10,21 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = flags + " --xla_force_host_platform_device_count=8"
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # XLA CPU's in-process collectives abort() the whole process when a
+    # participant thread is starved past a hard 40 s rendezvous timeout —
+    # routine on this 1-core host when 8 virtual devices each run tens of
+    # seconds of compute between collectives (observed: the flagship dryrun
+    # stage died with "Termination timeout ... Exiting to ensure a consistent
+    # program state"). Raise both rendezvous timeouts well past any honest
+    # compute imbalance; hangs stay bounded by the test/driver timeout.
+    flags = (
+        flags
+        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    )
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 
