@@ -20,6 +20,11 @@ sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; honor it through the
+# config API so CPU smoke runs don't hang on the tunnel (CLAUDE.md gotcha).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 FRAMES = 20
 RES = 224
@@ -525,22 +530,29 @@ def chain_ladder(ladder):
         for k in KNOB_KEYS:
             os.environ.pop(k, None)
         os.environ.update(knobs)
-        model = build(int8)
-        params = model.prepare_params(model.init_params(jax.random.key(0)))
-        fn = jax.jit(lambda p, x, m: model.predict(p, x, m)[0][0])
-
-        def window(n):
-            m, out = md, None
-            for _ in range(n):
-                out = fn(params, xd, m)
-                m = feed_j(m, out)
-            np.asarray(out)
 
         try:
+            model = build(int8)
+            params = model.prepare_params(model.init_params(jax.random.key(0)))
+            fn = jax.jit(lambda p, x, m: model.predict(p, x, m)[0][0])
+
+            def window(n):
+                m, out = md, None
+                for _ in range(n):
+                    out = fn(params, xd, m)
+                    m = feed_j(m, out)
+                np.asarray(out)
+
             window(1)  # compile + sync
         except Exception as e:
             print(f"{tag:42s} FAILED: {type(e).__name__}: {str(e)[:140]}",
                   flush=True)
+            continue
+        if os.environ.get("BENCH_SMOKE") == "1":
+            # glue smoke (CPU/interpret): one compiled+executed batch per
+            # rung proves the rung's knob combination builds and runs;
+            # timing on this path would be meaningless.
+            print(f"{tag:42s} SMOKE OK", flush=True)
             continue
         short, long = 3, 13
         slopes = []
