@@ -135,7 +135,7 @@ KNOB_KEYS = ["DFD_FUSED_BLOCK", "DFD_DEC_STACK", "DFD_FRESH_ACC",
              "DFD_PHASE_MAJOR", "DFD_INT8_WO", "DFD_DEC_BATCHED",
              "DFD_VMEM_LIMIT_MB", "DFD_LADDER_KV_ROWS", "DFD_NO_CLAMP",
              "DFD_MEGAKERNEL", "DFD_TOWER_FRAMES", "DFD_TOWER_GROUP",
-             "DFD_INT8_ATTN", "DFD_TOWER_EXPORT"]
+             "DFD_INT8_ATTN", "DFD_TOWER_EXPORT", "BENCH_ARCH"]
 
 # round-3b: the int8-wo / batched-decoder-grid / VMEM-raise knob set, timed
 # with the chained-slope method (chain_ladder below)
@@ -230,6 +230,28 @@ LADDERS["mega2"] = [
      {**_MEGA, "DFD_INT8_ATTN": "1", "DFD_TOWER_GROUP": "8"}, 1),
     ("mega + INT8_ATTN=qk (logits only)",
      {**_MEGA, "DFD_INT8_ATTN": "qk"}, 1),
+]
+
+# ViT-L/14 (w=1024, 24 layers): the wide-tower int8 path currently runs the
+# split fused kernels (whole-block exceeds scoped VMEM at w=1024); the
+# megakernel streams ONE layer's weights per grid step (~12.6 MB int8), so it
+# may fit where the resident-weight whole-block cannot. Run with
+# BENCH_BATCH=8 (PERF.md's ViT-L batch).
+_VITL = {"BENCH_ARCH": "ViT-L/14", "DFD_INT8_WO": "1", "DFD_DEC_BATCHED": "1",
+         "DFD_FRESH_ACC": "1", "DFD_DEC_STACK": "1"}
+LADDERS["megaL"] = [
+    ("ViT-L int8 ctl (split kernels)", dict(_VITL), 1),
+    ("ViT-L whole-block VMEM=96",
+     {**_VITL, "DFD_FUSED_BLOCK": "full", "DFD_VMEM_LIMIT_MB": "96"}, 1),
+    ("ViT-L mega F=20 g=4 VMEM=96",
+     {**_VITL, "DFD_MEGAKERNEL": "1", "DFD_TOWER_FRAMES": "20",
+      "DFD_VMEM_LIMIT_MB": "96"}, 1),
+    ("ViT-L mega F=40 g=4 VMEM=96",
+     {**_VITL, "DFD_MEGAKERNEL": "1", "DFD_TOWER_FRAMES": "40",
+      "DFD_VMEM_LIMIT_MB": "96"}, 1),
+    ("ViT-L mega F=20 + INT8_ATTN VMEM=96",
+     {**_VITL, "DFD_MEGAKERNEL": "1", "DFD_TOWER_FRAMES": "20",
+      "DFD_INT8_ATTN": "1", "DFD_VMEM_LIMIT_MB": "96"}, 1),
 ]
 
 # bf16 megakernel (weights 14.1 MB/layer double-buffered — VMEM-tighter, and
