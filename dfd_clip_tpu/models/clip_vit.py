@@ -89,6 +89,12 @@ ARCHITECTURES = {
     "ViT-Test": ViTConfig(
         input_resolution=32, patch_size=16, width=64, layers=3, heads=4, output_dim=32
     ),
+    # production head_dim (64) at CI-speed width: guards head-slice index
+    # math in the fused/tower kernels that ViT-Test's head_dim=16 cannot
+    "ViT-Test-Wide": ViTConfig(
+        input_resolution=32, patch_size=16, width=256, layers=3, heads=4,
+        output_dim=32
+    ),
 }
 
 

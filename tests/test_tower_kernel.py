@@ -24,8 +24,8 @@ def rng():
     return np.random.default_rng(7)
 
 
-def _tower_io(rng):
-    cfg = ARCHITECTURES["ViT-Test"]
+def _tower_io(rng, arch="ViT-Test"):
+    cfg = ARCHITECTURES[arch]
     params = init_clip_vision(jax.random.key(3), cfg)
     x = jnp.asarray(
         rng.standard_normal((4, 3, cfg.input_resolution, cfg.input_resolution)),
@@ -83,6 +83,32 @@ def test_megakernel_int8_attention(rng, monkeypatch, mode):
         assert got[name].shape == want[name].shape
         np.testing.assert_allclose(
             np.asarray(got[name]), np.asarray(want[name]), rtol=8e-2, atol=8e-2
+        )
+
+
+@pytest.mark.parametrize("int8_attn", [None, "1"])
+def test_megakernel_wide_head_dim(rng, monkeypatch, int8_attn):
+    """ViT-Test-Wide (head_dim=64, the production value): guards the
+    kernels' head-slice index math that head_dim=16 cannot — the chip
+    megaL ladder runs the same structure at ViT-L/14 (w=1024, hd=64)."""
+    cfg, params, x = _tower_io(rng, arch="ViT-Test-Wide")
+    keep = (1, 2)
+
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "xla")
+    want = clip_vision_kv(params, x, cfg, compute_dtype=jnp.float32,
+                          keep_layers=keep, drop_cls=True, compute_int8=True)
+
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "pallas")
+    monkeypatch.setenv("DFD_MEGAKERNEL", "1")
+    if int8_attn:
+        monkeypatch.setenv("DFD_INT8_ATTN", int8_attn)
+    got = clip_vision_kv(params, x, cfg, compute_dtype=jnp.float32,
+                         keep_layers=keep, drop_cls=True, compute_int8=True)
+    tol = 8e-2 if int8_attn else 5e-2
+    for name in ("k", "v"):
+        assert got[name].shape == want[name].shape
+        np.testing.assert_allclose(
+            np.asarray(got[name]), np.asarray(want[name]), rtol=tol, atol=tol
         )
 
 
