@@ -436,7 +436,7 @@ def main():
     # the headline stays the numerics-default path (K/V drift bounds in
     # tests/test_models.py::test_compute_int8_drift; validate on real CLIP
     # weights via scripts/validate_parity.py before enabling in production).
-    int8_per_chip = None
+    int8_per_chip = int8_kernel = None
     int8_variants = {}
     if os.environ.get("BENCH_SKIP_INT8") != "1":
         from dfd_clip_tpu.models.detector import Detector
@@ -526,8 +526,7 @@ def main():
                 "int8_kernel_variants": {
                     k: round(v, 2) for k, v in int8_variants.items()
                 } if int8_per_chip else None,
-                "int8_kernel": (max(int8_variants, key=int8_variants.get)
-                                if int8_variants else None),
+                "int8_kernel": int8_kernel,
                 "projected_e2e_clips_per_sec_chip": round(projected, 2),
                 "projected_vs_baseline": round(projected / BASELINE_EST_CLIPS_PER_SEC, 3),
                 "train_clips_per_sec_chip": train_clips,

@@ -122,10 +122,11 @@ class DataLoader:
             except Exception as e:  # surface worker errors to the consumer
                 put(("err", e))
             finally:
-                try:
-                    out.put_nowait(("done", None))
-                except queue.Full:
-                    pass
+                # Stop-aware bounded put, like the err path: a put_nowait here
+                # drops the sentinel whenever the queue is momentarily full
+                # (slow consumer at end of epoch — the normal case) and the
+                # consumer then blocks forever on out.get().
+                put(("done", None))
 
         producer = threading.Thread(target=produce, daemon=True)
         producer.start()

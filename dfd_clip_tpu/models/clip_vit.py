@@ -167,12 +167,14 @@ def embed_patches(params: Params, x: jax.Array, cfg: ViTConfig,
 
 
 def _quant_kv_rows_xla(f: jax.Array):
-    """(N, T', H, D) -> (int8, (N, T', 1) f32 scale); the XLA composition of
-    ops.pallas_attention._quant_kv_rows (dequant = q · s)."""
+    """(N, T', H, D) -> (int8, (N, T', 1) f32 scale); the XLA-path wrapper
+    around ops.pallas_attention._quant_kv_rows (dequant = q · s) — one shared
+    implementation so the scale/clip constants can't drift between the kernel
+    exporter and this fallback."""
+    from ..ops.pallas_attention import _quant_kv_rows
+
     n_, t_ = f.shape[:2]
-    r32 = f.reshape(n_, t_, -1).astype(jnp.float32)
-    s = jnp.max(jnp.abs(r32), axis=-1, keepdims=True) * (1.0 / 127.0) + 1e-30
-    q = jnp.clip(jnp.round(r32 / s), -127.0, 127.0).astype(jnp.int8)
+    q, s = _quant_kv_rows(f.reshape(n_, t_, -1))
     return q.reshape(f.shape), s
 
 

@@ -744,7 +744,7 @@ def _make_full_block_kernel_phased(
             sums = [[None] * heads for _ in range(frames)]
             for f in range(frames):
                 for h in range(heads):
-                    p = jnp.exp(jnp.minimum(logits[f][h], _LOGIT_CLAMP))
+                    p = _exp_probs(logits[f][h])
                     ps[f][h] = p.astype(h_ref.dtype)
                     sums[f][h] = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
             attns = []

@@ -211,10 +211,20 @@ def main(argv=None) -> int:
     # round-3 kernel variants on the same real weights: the whole-encoder
     # megakernel and int8 attention (full + qk-only). Each must keep predict
     # logit cosine >= 0.999 vs bf16 before being enabled in production.
-    # (On TPU these engage via the Pallas auto-backend; on a forced-CPU run
-    # they fall back to the XLA composition and reproduce the int8 figures.)
+    # On TPU these engage via the Pallas auto-backend; on a forced-CPU run
+    # the auto-backend picks XLA and the megakernel knobs would be dead —
+    # the three rungs would each re-run the plain int8 predict and record a
+    # vacuous cosine of 1.0. Force the Pallas backend there (interpret mode
+    # on CPU) so the kernels themselves are what gets validated.
     import os as _os
 
+    from dfd_clip_tpu.ops import attention as _attn_ops
+
+    force_pallas = not _attn_ops.use_fused_blocks()
+    report["int8"]["variant_backend"] = (
+        "pallas-interpret (forced: auto-backend is XLA here)"
+        if force_pallas else "pallas"
+    )
     for tag, env in (
         ("megakernel", {"DFD_MEGAKERNEL": "1"}),
         ("megakernel_int8_attn_qk", {"DFD_MEGAKERNEL": "1",
@@ -222,6 +232,8 @@ def main(argv=None) -> int:
         ("megakernel_int8_attn", {"DFD_MEGAKERNEL": "1",
                                   "DFD_INT8_ATTN": "1"}),
     ):
+        if force_pallas:
+            env = {**env, "DFD_ATTENTION_BACKEND": "pallas"}
         saved = {k: _os.environ.get(k) for k in env}
         _os.environ.update(env)
         try:

@@ -229,6 +229,30 @@ def test_loader_threaded_matches_sync():
     assert sync == thr
 
 
+def test_loader_slow_consumer_terminates():
+    """Regression: the producer's end-of-stream sentinel used put_nowait and
+    was silently dropped whenever the bounded queue was full (the normal case
+    with a consumer slower than the prefetcher) — the consumer then blocked
+    forever on get(). The sentinel must use the same stop-aware bounded put
+    as data items (loader.py produce/finally)."""
+    import threading
+    import time
+
+    dl = DataLoader(_ToyDataset(), batch_size=1, num_workers=2)
+    seen = []
+
+    def consume():
+        for b in dl:
+            seen.append(b[1].tolist())
+            time.sleep(0.05)  # stay slower than the producer: queue stays full
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    t.join(timeout=20.0)
+    assert not t.is_alive(), "loader iteration hung after the last batch"
+    assert seen == [[i] for i in range(10)]
+
+
 def test_loader_propagates_worker_errors():
     class Exploding:
         def __len__(self):
