@@ -97,7 +97,8 @@ def load_merges(path: str = None) -> List[Tuple[str, str]]:
     """Read the merge table (one space-separated pair per line; first line
     is a header, table truncated to 48,894 entries as CLIP does)."""
     path = path or os.environ.get("DFD_BPE_PATH", DEFAULT_BPE_PATH)
-    raw = gzip.open(path).read().decode("utf-8").split("\n")
+    with gzip.open(path) as f:
+        raw = f.read().decode("utf-8").split("\n")
     raw = raw[1 : 49152 - 256 - 2 + 1]
     return [tuple(line.split()) for line in raw]
 

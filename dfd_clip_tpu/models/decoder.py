@@ -200,12 +200,13 @@ def apply_decoder(
     x = layers.layer_norm(params["ln_pre"], x)
     x = layers.dropout(x, cfg.dropout, next_rng(), train)
 
-    # Single-device TPU inference: run the per-block interstitial (out-proj +
-    # residual + LN2 + MLP + next block's LN1 + query in-proj) as ONE Pallas
-    # boundary kernel per block instead of ~12 XLA ops — the whole decoder
-    # becomes back-to-back Pallas calls (ops/pallas_decoder_stack.py).
-    # Training differentiates the XLA composition; aug_query reorders the
-    # query input and keeps the XLA path; multi-chip (spmd) likewise.
+    # Per-device inference (single-device TPU, or a shard_map-local body —
+    # ops.attention.per_device_pallas): run the per-block interstitial
+    # (out-proj + residual + LN2 + MLP + next block's LN1 + query in-proj)
+    # as ONE Pallas boundary kernel per block instead of ~12 XLA ops — the
+    # whole decoder becomes back-to-back Pallas calls
+    # (ops/pallas_decoder_stack.py). Training differentiates the XLA
+    # composition; aug_query reorders the query input and keeps the XLA path.
     import os as _os
 
     _stack_env = _os.environ.get("DFD_DEC_STACK", "1")
@@ -219,8 +220,7 @@ def apply_decoder(
     if use_stack and _stack_env != "force":
         from ..ops import attention as attention_ops
 
-        single = jax.device_count() == 1 or attention_ops.in_local_program()
-        use_stack = jax.default_backend() == "tpu" and single
+        use_stack = attention_ops.per_device_pallas()
 
     results = []
     if use_stack:

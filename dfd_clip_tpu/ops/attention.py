@@ -52,21 +52,30 @@ def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     return jnp.einsum("nhqk,nkhd->nqhd", probs, v)
 
 
+def per_device_pallas() -> bool:
+    """Whether backend=auto should take the Pallas kernels for the current
+    trace. Pallas custom calls carry no GSPMD partition rules: under a
+    multi-chip jit the partitioner would replicate their operands
+    (all-gathering the batch-sharded activation stream). So auto picks the
+    kernels only where the program is per-device by construction: a single
+    device, or inside a shard_map body (ops/spmd.py wraps the encoder tower
+    and the decoder attention in shard_map over the runtime mesh, so
+    multi-chip keeps the fused kernels). DFD_SPMD_PALLAS=1 extends the
+    shard_map case to non-TPU backends (CPU interp-mode testing of the spmd
+    path). The ONE definition of this predicate — attention, decoder
+    attention, and the decoder boundary stack must never drift apart.
+    Force DFD_ATTENTION_BACKEND=pallas to override under your own shard_map.
+    """
+    if in_local_program() and os.environ.get("DFD_SPMD_PALLAS") == "1":
+        return True
+    single = jax.device_count() == 1 or in_local_program()
+    return jax.default_backend() == "tpu" and single
+
+
 def _backend() -> str:
     backend = os.environ.get("DFD_ATTENTION_BACKEND", "auto")
     if backend == "auto":
-        # Pallas custom calls carry no GSPMD partition rules: under a
-        # multi-chip jit the partitioner would replicate their operands
-        # (all-gathering the batch-sharded activation stream). So auto picks
-        # the kernels where the program is per-device by construction: a
-        # single device, or inside a shard_map body (ops/spmd.py wraps the
-        # encoder tower and the decoder attention in shard_map over the
-        # runtime mesh, so multi-chip keeps the fused kernels). Force
-        # DFD_ATTENTION_BACKEND=pallas to override under your own shard_map.
-        single = jax.device_count() == 1 or in_local_program()
-        backend = "pallas" if (jax.default_backend() == "tpu" and single) else "xla"
-        if in_local_program() and os.environ.get("DFD_SPMD_PALLAS") == "1":
-            backend = "pallas"  # CPU interp-mode testing of the spmd path
+        backend = "pallas" if per_device_pallas() else "xla"
     return backend
 
 

@@ -105,12 +105,8 @@ def dual_activation_attention(
     # factorized attn_mode / multi-query variants.
     backend = os.environ.get("DFD_ATTENTION_BACKEND", "auto")
     if backend == "auto":
-        # per-device programs only, same GSPMD reasoning as
-        # ops.attention._backend (single device or inside a shard_map body)
-        single = jax.device_count() == 1 or attention_ops.in_local_program()
-        backend = "pallas" if (jax.default_backend() == "tpu" and single) else "xla"
-        if attention_ops.in_local_program() and os.environ.get("DFD_SPMD_PALLAS") == "1":
-            backend = "pallas"  # CPU interp-mode testing of the spmd path
+        # per-device programs only — the shared GSPMD predicate
+        backend = "pallas" if attention_ops.per_device_pallas() else "xla"
     # Training differentiates through the decoder (its queries and temporal
     # pos are trainable). The kernel itself defines no VJP, but
     # ops/decoder_attention_vjp.py wraps it in jax.custom_vjp: Pallas

@@ -38,11 +38,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
-
-
-from .pallas_attention import _compiler_params  # noqa: E402  (shared VMEM knob)
+from .pallas_attention import (  # noqa: E402  (shared VMEM/interpret knobs)
+    _compiler_params,
+    _interpret,
+)
 
 
 def _pick_tile(l: int) -> int:

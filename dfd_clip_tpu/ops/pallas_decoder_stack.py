@@ -37,11 +37,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
-
-
-from .pallas_attention import _compiler_params  # noqa: E402  (shared VMEM knob)
+from .pallas_attention import (  # noqa: E402  (shared VMEM/interpret knobs)
+    _compiler_params,
+    _interpret,
+)
 
 
 def _boundary_kernel(*refs, has_tail: bool, has_query: bool, width: int,

@@ -16,6 +16,7 @@ Axes:
 from __future__ import annotations
 
 import logging
+from contextlib import contextmanager
 from typing import Any, Optional, Sequence
 
 import jax
@@ -27,17 +28,36 @@ logger = logging.getLogger(__name__)
 
 # The mesh the running process computes over, registered by MeshRuntime so
 # model-level code (ops/spmd.py) can shard_map Pallas kernels over it without
-# threading the runtime through every call signature.
+# threading the runtime through every call signature. Process-global by
+# design (the CLIs own exactly one mesh for their lifetime); library callers
+# that create short-lived runtimes should scope them with ``active_mesh`` /
+# ``MeshRuntime.deactivate`` so a stale multi-device registration cannot
+# reroute later single-stream work through shard_map.
 _CURRENT_MESH: Optional[Mesh] = None
 
 
-def set_current_mesh(mesh: Optional[Mesh]) -> None:
+def set_current_mesh(mesh: Optional[Mesh]) -> Optional[Mesh]:
+    """Register ``mesh`` as the process mesh; returns the previous value so
+    callers can restore it."""
     global _CURRENT_MESH
+    prev = _CURRENT_MESH
     _CURRENT_MESH = mesh
+    return prev
 
 
 def current_mesh() -> Optional[Mesh]:
     return _CURRENT_MESH
+
+
+@contextmanager
+def active_mesh(mesh: Optional[Mesh]):
+    """Scope the process-mesh registration: restores the previous mesh on
+    exit, exception-safe. Use for temporary meshes (tests, nested tools)."""
+    prev = set_current_mesh(mesh)
+    try:
+        yield mesh
+    finally:
+        set_current_mesh(prev)
 
 
 def best_mesh_shape(n_devices: int, seq_parallel: int = 1) -> tuple[int, int]:
@@ -82,6 +102,20 @@ class MeshRuntime:
             "MeshRuntime: %d devices, mesh (data=%d, seq=%d)", len(self.devices), dp, sp
         )
         set_current_mesh(self.mesh)
+
+    def deactivate(self) -> None:
+        """Unregister this runtime's mesh if it is still the process mesh
+        (no-op when another runtime has since taken over). Call when a
+        short-lived runtime goes away; also invoked by ``__exit__``."""
+        if current_mesh() is self.mesh:
+            set_current_mesh(None)
+
+    def __enter__(self) -> "MeshRuntime":
+        set_current_mesh(self.mesh)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.deactivate()
 
     # -- process topology ----------------------------------------------------
     @property

@@ -43,3 +43,15 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _isolate_process_mesh():
+    """Snapshot/restore the process-mesh registration around every test: a
+    test that builds a MeshRuntime (which self-registers) must not reroute
+    later tests' encoder/decoder calls through shard_map over its mesh."""
+    from dfd_clip_tpu.runtime import mesh as mesh_rt
+
+    prev = mesh_rt.current_mesh()
+    yield
+    mesh_rt.set_current_mesh(prev)

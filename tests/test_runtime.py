@@ -49,3 +49,37 @@ def test_env_coordinator(monkeypatch, capture_init):
     monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "c:1")
     assert launch.initialize(num_processes=2, process_id=1) is True
     assert capture_init[0][1]["coordinator_address"] == "c:1"
+
+
+# -- process-mesh registration scoping ---------------------------------------
+
+def test_mesh_registration_scoping():
+    """MeshRuntime self-registers its mesh in the process-global slot; the
+    scoping helpers must restore/clear it so a stale multi-device mesh
+    cannot reroute later single-stream work through shard_map."""
+    from dfd_clip_tpu.runtime import mesh as mesh_rt
+
+    base = mesh_rt.current_mesh()
+
+    # context-managed runtime: registered inside, cleared on exit
+    with mesh_rt.MeshRuntime() as rt:
+        assert mesh_rt.current_mesh() is rt.mesh
+    assert mesh_rt.current_mesh() is None
+
+    # deactivate() is a no-op when another runtime has since taken over
+    rt1 = mesh_rt.MeshRuntime()
+    rt2 = mesh_rt.MeshRuntime(seq_parallel=2)
+    rt1.deactivate()
+    assert mesh_rt.current_mesh() is rt2.mesh
+    rt2.deactivate()
+    assert mesh_rt.current_mesh() is None
+
+    # active_mesh restores the previous registration, exception-safe
+    mesh_rt.set_current_mesh(rt1.mesh)
+    with pytest.raises(RuntimeError):
+        with mesh_rt.active_mesh(rt2.mesh):
+            assert mesh_rt.current_mesh() is rt2.mesh
+            raise RuntimeError("boom")
+    assert mesh_rt.current_mesh() is rt1.mesh
+
+    mesh_rt.set_current_mesh(base)  # the autouse fixture also restores
