@@ -14,15 +14,19 @@ This module closes that gap with ``jax.custom_vjp``:
   output, denominator, running max) because the sequence-parallel combine
   (ops/spmd.py) needed the same state. The final normalize runs as a tiny
   XLA epilogue, bit-matching the kernel's own in-kernel epilogue.
-* **Backward**: hand-written XLA einsums over the saved stats. K and V are
-  frozen-encoder exports (no tangents needed — their cotangents are
-  structural zeros the compiler drops), so the only gradients are the three
-  trainable leaves: q_smax, q_coda, temporal_pos. Affinities are
-  reconstructed from (denominator, max) in f32 — one logits GEMM + one
-  elementwise pass over K, the same reads the XLA backward pays anyway —
-  instead of re-running the full XLA forward (rematerialization would eat
-  the kernel's win) or saving the (B, L, H) affinity zoo from inside the
-  kernel (extra VMEM->HBM stores on the hot path).
+* **Backward**: hand-written XLA einsums over the saved stats for ALL
+  differentiable leaves — q_smax, q_coda, temporal_pos, AND k/v. The k/v
+  cotangents matter because adapter modes (models/adapter.py — CompInv and
+  the nerf/adapter train modes, reference src/models.py:460-480) insert a
+  trainable transform between the frozen encoder exports and the decoder:
+  zeroing dK/dV would silently stop the adapter from learning. In the plain
+  frozen-detector path K/V come through ``stop_gradient`` and the dK/dV
+  einsums are dead code the jit DCEs. Affinities are reconstructed from
+  (denominator, max) in f32 — one logits GEMM + one elementwise pass over
+  K, the same reads the XLA backward pays anyway — instead of re-running
+  the full XLA forward (rematerialization would eat the kernel's win) or
+  saving the (B, L, H) affinity zoo from inside the kernel (extra
+  VMEM->HBM stores on the hot path).
 
 Gradient checks vs ``jax.grad`` of the XLA composition:
 tests/test_pallas_ops.py::test_decoder_vjp_*. Opt-out: DFD_DEC_VJP=0.
@@ -77,7 +81,10 @@ def _fwd(q_smax, q_coda, k, v, mask, temporal_pos, layer):
 
 
 def _bwd_math(layer, q_smax, q_coda, k, v, mask, temporal_pos, denom, mx, ct):
-    """Cotangents (dq_smax, dq_coda, dpos) from the saved softmax stats.
+    """Cotangents (dq_smax, dq_coda, dpos, dk, dv) from the saved softmax
+    stats. dk/dv are for the SELECTED layer slot ((B, L, H, D) — the caller
+    scatters into the stacked buffer when ``layer`` is set); they are zero
+    at masked tokens, matching the XLA composition's where()-transposes.
 
     Plain jnp ops — on a multi-device mesh GSPMD partitions these einsums
     over the same (data, seq) sharding as the forward and inserts the
@@ -125,27 +132,45 @@ def _bwd_math(layer, q_smax, q_coda, k, v, mask, temporal_pos, denom, mx, ct):
     dqc = (s * jnp.einsum("blh,blhd->bhd", dlc, kp)
            + jnp.einsum("blh,blhd->bhd", du, sign))
 
+    # kp = k + pos and vp = v + pos, so dk == dkp and dv == dvp (the pos
+    # cotangent is their sum reverse-broadcast). Needed live whenever a
+    # trainable adapter produced K/V; dead (jit-DCE'd) on the frozen path.
+    dkp = (dls[..., None] * (qs[:, None] * s)
+           + dlc[..., None] * (qc[:, None] * s)
+           - du[..., None] * sign)                       # (B, L, H, D)
+    dvp = 0.5 * (a_s + t * gate)[..., None] * g0[:, None]
+
     dpos = None
     if temporal_pos is not None:
-        dkp = (dls[..., None] * (qs[:, None] * s)
-               + dlc[..., None] * (qc[:, None] * s)
-               - du[..., None] * sign)                   # (B, L, H, D)
-        dvp = 0.5 * (a_s + t * gate)[..., None] * g0[:, None]
         dpos = _sum_to(jnp.sum(dkp + dvp, axis=0), temporal_pos.shape)
         dpos = dpos.astype(temporal_pos.dtype)
 
-    return dqs[:, None].astype(q_smax.dtype), dqc[:, None].astype(q_coda.dtype), dpos
+    return (dqs[:, None].astype(q_smax.dtype),
+            dqc[:, None].astype(q_coda.dtype), dpos,
+            dkp.astype(kl.dtype), dvp.astype(vl.dtype))
+
+
+def _scatter_slot(dk, dv, k, v, layer):
+    """Place the selected-slot cotangents into full-shape buffers (stacked
+    (Lsel, B, L, H, D) form when ``layer`` is set; identity otherwise).
+    JAX sums these across the decoder's per-block calls, accumulating each
+    block's slot into the shared export stack."""
+    if layer is None:
+        return dk, dv
+    return (jnp.zeros_like(k).at[layer].set(dk),
+            jnp.zeros_like(v).at[layer].set(dv))
 
 
 def _bwd(layer, res, ct):
     q_smax, q_coda, k, v, mask, temporal_pos, denom, mx = res
-    dqs, dqc, dpos = _bwd_math(layer, q_smax, q_coda, k, v, mask,
-                               temporal_pos, denom, mx, ct)
+    dqs, dqc, dpos, dk, dv = _bwd_math(layer, q_smax, q_coda, k, v, mask,
+                                       temporal_pos, denom, mx, ct)
+    dk, dv = _scatter_slot(dk, dv, k, v, layer)
     return (
         dqs,
         dqc,
-        jnp.zeros_like(k),   # frozen export: cotangent is dead at trace time
-        jnp.zeros_like(v),
+        dk,
+        dv,
         np.zeros(mask.shape, dtype=jax.dtypes.float0),
         dpos,
     )
@@ -179,13 +204,14 @@ def _spmd_fwd(q_smax, q_coda, k, v, mask, temporal_pos, layer, mesh):
 
 def _spmd_bwd(layer, mesh, res, ct):
     q_smax, q_coda, k, v, mask, temporal_pos, denom, mx = res
-    dqs, dqc, dpos = _bwd_math(layer, q_smax, q_coda, k, v, mask,
-                               temporal_pos, denom, mx, ct)
+    dqs, dqc, dpos, dk, dv = _bwd_math(layer, q_smax, q_coda, k, v, mask,
+                                       temporal_pos, denom, mx, ct)
+    dk, dv = _scatter_slot(dk, dv, k, v, layer)
     return (
         dqs,
         dqc,
-        jnp.zeros_like(k),
-        jnp.zeros_like(v),
+        dk,
+        dv,
         np.zeros(mask.shape, dtype=jax.dtypes.float0),
         dpos,
     )

@@ -479,3 +479,43 @@ def test_compute_int8_drift(rng):
     quant, _ = det_q.predict(params, jnp.asarray(x), m)
     np.testing.assert_allclose(np.asarray(quant[0]), np.asarray(base[0]),
                                rtol=0.15, atol=0.3)
+
+
+def test_adapter_grads_flow_on_pallas_train_path(rng, monkeypatch):
+    """A Detector with a trainable adapter must receive adapter gradients
+    through the decoder's K/V inputs on the Pallas training path (the
+    custom-VJP route, ops/decoder_attention_vjp.py) — and they must match
+    the XLA composition's autodiff. Regression: an earlier VJP returned
+    structural-zero dK/dV, which trained the decoder but silently froze
+    the adapter on TPU."""
+    det = _tiny_detector(adapter={"type": "scratch",
+                                  "struct": {"type": "768-x-768", "x": 32}})
+    params = det.init_params(jax.random.key(0))
+    assert "adapter" in params
+
+    x = jnp.asarray(rng.integers(0, 255, (2, 4, 3, 32, 32), dtype=np.uint8))
+    m = jnp.ones((2, 4), bool)
+    y = [jnp.asarray(np.array([0, 1]))]
+
+    def adapter_grads(p):
+        def loss_fn(ad):
+            losses, _, _ = det.forward({**p, "adapter": ad}, x, y, m,
+                                       train=True, single_task=0)
+            return losses[0].mean()
+
+        return jax.grad(loss_fn)(p["adapter"])
+
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "pallas")  # interpret on CPU
+    got = adapter_grads(params)
+    gnorm = jax.tree_util.tree_reduce(
+        lambda acc, g: acc + float(jnp.sum(jnp.abs(g))), got, 0.0
+    )
+    assert gnorm > 0.0, "adapter grads are zero on the Pallas train path"
+
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "xla")
+    want = adapter_grads(params)
+    jax.tree_util.tree_map(
+        lambda g, w: np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=5e-4, atol=5e-5),
+        got, want,
+    )

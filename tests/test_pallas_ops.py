@@ -559,3 +559,55 @@ def test_decoder_vjp_classic_grid_geometry(rng, monkeypatch):
     for g, w, name in zip(got, want, ("q_smax", "q_coda", "pos")):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("stacked", [False, True])
+def test_decoder_vjp_kv_grads(rng, monkeypatch, stacked):
+    """dK/dV through the custom-VJP path must match XLA autodiff. These
+    cotangents are LIVE in adapter training (models/adapter.py inserts a
+    trainable transform between the frozen exports and the decoder, so
+    gradients must flow through the decoder's K/V inputs to reach the
+    adapter); an earlier revision returned structural zeros, which would
+    have silently frozen the adapter on the TPU training path."""
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "pallas")
+    b, h, d, t, p = 3, 4, 32, 5, 8
+    l = t * p
+    qs = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+    qc = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+    if stacked:
+        k = jnp.asarray(rng.standard_normal((2, b, l, h, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((2, b, l, h, d)), jnp.float32)
+        layers = (0, 1)          # both slots used, cotangents accumulate
+    else:
+        k = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+        layers = (None,)
+    pos = jnp.asarray(0.2 * rng.standard_normal((l, h, d)), jnp.float32)
+    mask = np.ones((b, l), bool)
+    mask[1, 3 * p:] = False
+    mask[2, :] = False
+    mask = jnp.asarray(mask)
+    r = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+
+    def loss(k, v, qs, qc, pos):
+        # adapter-style trainable transform is the K/V themselves here:
+        # grads wrt k/v are exactly what an adapter's chain rule consumes
+        tot = 0.0
+        for layer in layers:
+            out = dual_activation_attention(
+                qs, qc, k, v, mask, num_frames=t, temporal_pos=pos,
+                layer=layer, differentiable=True)
+            tot = tot + jnp.sum(out.astype(jnp.float32) * r)
+        return tot
+
+    got = jax.jit(jax.grad(loss, argnums=(0, 1)))(k, v, qs, qc, pos)
+    assert float(jnp.abs(got[0]).max()) > 0, "dK must not be structural zero"
+    monkeypatch.setenv("DFD_DEC_VJP", "0")   # XLA fwd + autodiff bwd
+    want = jax.jit(jax.grad(loss, argnums=(0, 1)))(k, v, qs, qc, pos)
+    for g, w, name in zip(got, want, ("k", "v")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+    # masked tokens contribute nothing
+    gk = np.asarray(got[0])
+    sample_axis = 1 if stacked else 0
+    assert np.all(np.take(gk, 2, axis=sample_axis) == 0)

@@ -192,7 +192,8 @@ def test_spmd_decoder_vjp_grad_parity(rng, mesh42, monkeypatch):
     """Multi-chip TRAINING keeps the decoder kernel: the spmd custom-VJP
     form (shard_map-Pallas forward + stats-based GSPMD backward,
     ops/decoder_attention_vjp.py) must match jax.grad of the multi-device
-    XLA composition for q_smax, q_coda and temporal_pos."""
+    XLA composition for q_smax, q_coda, temporal_pos AND the stacked k/v
+    export buffers (live cotangents in adapter training)."""
     monkeypatch.setenv("DFD_SPMD_PALLAS", "1")
     b, h, d, t, p = 4, 4, 64, 4, 8
     l = t * p
@@ -206,16 +207,17 @@ def test_spmd_decoder_vjp_grad_parity(rng, mesh42, monkeypatch):
     mask = jnp.asarray(mask)
     r = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
 
-    def loss(qs, qc, pos):
+    def loss(qs, qc, pos, k, v):
         out = dual_activation_attention(
             qs, qc, k, v, mask, num_frames=t, temporal_pos=pos, layer=1,
             differentiable=True)
         return jnp.sum(out.astype(jnp.float32) * r)
 
-    got = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(qs, qc, pos)
+    got = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))(qs, qc, pos, k, v)
+    assert float(jnp.abs(got[3]).max()) > 0, "dK must not be structural zero"
     monkeypatch.setenv("DFD_ATTENTION_BACKEND", "xla")
-    want = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(qs, qc, pos)
-    for g, w, name in zip(got, want, ("q_smax", "q_coda", "pos")):
+    want = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))(qs, qc, pos, k, v)
+    for g, w, name in zip(got, want, ("q_smax", "q_coda", "pos", "k", "v")):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=2e-4, atol=2e-5, err_msg=name)
 
