@@ -297,3 +297,63 @@ def test_native_x264_encode_decode_roundtrip(tmp_path):
     # YUV fast path flags limited range for x264 output
     y, u, v, full_range = lib.read_frames_yuv(p, [0.0])
     assert not full_range
+
+
+def test_native_decoder_corrupt_inputs_raise(tmp_path):
+    """Hostile/broken files must raise catchable errors, never crash: the
+    dataset layer's retry-resample (FFPP.get_dict, reference
+    src/datasets.py:592-702 semantics) catches ANY exception and resamples,
+    which only works if libdfdvideo turns every libav failure into a Python
+    error. Covers: missing path, empty file, random bytes, a mid-file
+    truncation, and out-of-range seek times on a valid file."""
+    pytest.importorskip("cv2")
+    from fixtures import write_video
+
+    try:
+        from dfd_clip_tpu.data.native_video import NativeVideoLib
+
+        lib = NativeVideoLib.get()
+    except ImportError:
+        pytest.skip("native lib not built")
+
+    ok = str(tmp_path / "ok.avi")
+    write_video(ok, 20, fps=10.0, size=32, seed=0)
+
+    bad = {
+        "missing": str(tmp_path / "nope.avi"),
+        "empty": str(tmp_path / "empty.avi"),
+        "garbage": str(tmp_path / "garbage.avi"),
+    }
+    open(bad["empty"], "wb").close()
+    with open(bad["garbage"], "wb") as f:
+        f.write(bytes(range(256)) * 16)
+
+    for name, path in bad.items():
+        with pytest.raises(OSError):
+            lib.probe(path)
+        with pytest.raises(OSError):
+            lib.read_frames(path, [0.0, 0.5])
+
+    # A mid-file truncation keeps a parseable header: libav may legitimately
+    # decode the surviving prefix (error resilience). The contract is weaker
+    # but strict: every call either raises OSError or returns well-formed
+    # frames — never crashes, never hands back misshapen buffers.
+    trunc = str(tmp_path / "trunc.avi")
+    data = open(ok, "rb").read()
+    with open(trunc, "wb") as f:
+        f.write(data[: len(data) // 3])
+    for times in ([0.0, 0.5], [1.9], [0.0, 0.5, 1.0, 1.5, 1.9]):
+        try:
+            frames = lib.read_frames(trunc, times)
+        except OSError:
+            continue
+        assert frames.shape == (len(times), 32, 32, 3)
+        assert frames.dtype == np.uint8
+
+    # out-of-range seeks on a VALID file also raise, not hang/garbage
+    with pytest.raises(OSError):
+        lib.read_frames(ok, [-1.0])
+    with pytest.raises(OSError):
+        lib.read_frames(ok, [100.0])
+    # empty request is well-defined
+    assert lib.read_frames(ok, []).shape[0] == 0
