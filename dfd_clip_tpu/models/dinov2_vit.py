@@ -197,12 +197,22 @@ def dinov2_forward(
     masks: jax.Array | None = None,
     drop_path_rate: float = 0.0,
     rng: jax.Array | None = None,
+    remat: bool = False,
 ) -> Dict[str, jax.Array]:
     """Full tower forward for SSL/eval: returns normalized CLS and patch
     tokens ({"cls": (N, W), "patch": (N, P, W)}), with optional iBOT patch
     masking (dinov2/models/vision_transformer.py:202-244 behavior) and
     per-sample stochastic depth on both residual branches
-    (dinov2/layers/drop_path.py semantics) when ``drop_path_rate`` > 0."""
+    (dinov2/layers/drop_path.py semantics) when ``drop_path_rate`` > 0.
+
+    ``remat``: rematerialize each scanned block in the backward pass
+    (jax.checkpoint on the scan body — the torch reference relies on
+    xFormers' memory-efficient attention for the same HBM relief). Saves
+    only the per-layer carry instead of every block intermediate: the
+    standard trade of ~1/3 more forward FLOPs for O(layers) less live
+    activation memory, which is what lets ViT-L/giant2 SSL batches fit a
+    16 GB v5e chip. Differentiated paths only — the teacher forward should
+    keep remat=False (no backward, recompute would be pure waste)."""
     h = _embed(params, x, cfg, compute_dtype, masks)
 
     if drop_path_rate > 0.0 and rng is not None:
@@ -217,11 +227,15 @@ def dinov2_forward(
             m2 = jax.random.bernoulli(k2, keep, (n, 1, 1)).astype(carry.dtype) / keep
             return _block(bp, carry, cfg, m1, m2), None
 
+        if remat:
+            body = jax.checkpoint(body)
         h, _ = jax.lax.scan(body, h, (params["blocks"], layer_keys))
     else:
         def body(carry, bp):
             return _block(bp, carry, cfg), None
 
+        if remat:
+            body = jax.checkpoint(body)
         h, _ = jax.lax.scan(body, h, params["blocks"])
     h = layers.layer_norm(params["ln_post"], h)
     return {"cls": h[:, 0].astype(jnp.float32), "patch": h[:, 1:].astype(jnp.float32)}

@@ -38,6 +38,9 @@ class SSLConfig:
     ibot_weight: float = 1.0
     koleo_weight: float = 0.1
     drop_path_rate: float = 0.0
+    # rematerialize student tower blocks in backward (HBM for FLOPs trade;
+    # see models/dinov2_vit.dinov2_forward)
+    remat: bool = False
     head_hidden_dim: int = 2048
     head_bottleneck_dim: int = 256
     head_n_layers: int = 3
@@ -113,7 +116,7 @@ class SSLMetaArch:
         s_out_g = dinov2_vit.dinov2_forward(
             student["backbone"], flat_globals, c.arch, self.compute_dtype,
             masks=patch_masks.reshape(two * b, -1),
-            drop_path_rate=c.drop_path_rate, rng=rng_g,
+            drop_path_rate=c.drop_path_rate, rng=rng_g, remat=c.remat,
         )
         s_cls_logits_g = apply_dino_head(student["dino_head"], s_out_g["cls"])
         s_cls = [s_cls_logits_g.reshape(two, b, -1)]
@@ -124,7 +127,7 @@ class SSLMetaArch:
             flat_locals = local_crops.reshape((nl * b,) + local_crops.shape[2:])
             s_out_l = dinov2_vit.dinov2_forward(
                 student["backbone"], flat_locals, c.arch, self.compute_dtype,
-                drop_path_rate=c.drop_path_rate, rng=rng_l,
+                drop_path_rate=c.drop_path_rate, rng=rng_l, remat=c.remat,
             )
             s_cls.append(
                 apply_dino_head(student["dino_head"], s_out_l["cls"]).reshape(nl, b, -1)

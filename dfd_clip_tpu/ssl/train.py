@@ -59,6 +59,7 @@ class SSLTrainer:
         C.mask_sample_prob = 0.5
         C.layerwise_decay = 0.9
         C.drop_path_rate = 0.0
+        C.remat = 0  # rematerialize student blocks in backward (HBM relief)
         C.fsdp = 0  # shard params/opt state over the data axis (ZeRO-3 analog)
         C.checkpoint_interval = 0
         C.checkpoint_dir = "ssl_checkpoints"
@@ -87,6 +88,7 @@ class SSLTrainer:
             local_size=config.local_size,
             n_local_crops=config.n_local_crops,
             drop_path_rate=config.get("drop_path_rate", 0.0),
+            remat=bool(config.get("remat", 0)),
             centering=config.get("centering", "centering"),
         )
         self.meta = SSLMetaArch(self.ssl_cfg)

@@ -389,3 +389,44 @@ def test_linear_probe_grid(blob_features):
     assert acc > 0.9, (acc, report)
     # one entry per grid member + the winner tag
     assert report["best"] in report and len(report) == 11
+
+
+def test_remat_grads_match(rng):
+    """cfg.remat wraps the student tower's scanned block in jax.checkpoint:
+    the backward recomputes block intermediates instead of storing all of
+    them (the HBM headroom that lets ViT-L/giant2 SSL batches fit a chip).
+    Rematerialization must be semantics-preserving — same loss, same
+    gradients as the plain scan."""
+    import dataclasses as dc
+
+    arch = ViTConfig(input_resolution=28, patch_size=14, width=32, layers=2,
+                     heads=2, output_dim=32)
+    base = SSLConfig(arch=arch, out_dim=32, ibot_out_dim=32, local_size=14,
+                     n_local_crops=2, head_hidden_dim=32, head_bottleneck_dim=16,
+                     drop_path_rate=0.1)
+    g = jnp.asarray(rng.standard_normal((2, 2, 3, 28, 28)), jnp.float32)
+    l = jnp.asarray(rng.standard_normal((2, 2, 3, 14, 14)), jnp.float32)
+    masks = jnp.asarray(rng.random((2, 2, 4)) < 0.5)
+
+    def run(remat):
+        meta = SSLMetaArch(dc.replace(base, remat=remat),
+                           compute_dtype=jnp.float32)
+        student, teacher, centers = meta.init_params(jax.random.key(0))
+
+        def loss_fn(s):
+            total, _ = meta.forward_loss(s, teacher, centers, g, l, masks,
+                                         jnp.asarray(0.04),
+                                         rng=jax.random.key(7))
+            return total
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(student)
+        return float(loss), grads
+
+    loss_plain, g_plain = run(False)
+    loss_remat, g_remat = run(True)
+    np.testing.assert_allclose(loss_remat, loss_plain, rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        g_remat, g_plain,
+    )
