@@ -611,3 +611,30 @@ def test_decoder_vjp_kv_grads(rng, monkeypatch, stacked):
     gk = np.asarray(got[0])
     sample_axis = 1 if stacked else 0
     assert np.all(np.take(gk, 2, axis=sample_axis) == 0)
+
+
+@pytest.mark.parametrize("geo", [(2, 3, 16, 3, 7),      # tiny, nothing aligned
+                                 (2, 5, 40, 4, 9),      # odd head count/dim, odd P
+                                 (2, 12, 64, 4, 196)])  # ViT-L-decoder-like
+def test_decoder_kernel_geometry_sweep(rng, monkeypatch, geo):
+    """The decoder kernel routes through tile/grid fallbacks keyed on
+    geometry (hd % 128, 2H % 8, lane padding): forced-Pallas forward must
+    match XLA at deliberately awkward shapes, with masked rows."""
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "pallas")
+    b, h, d, t, p = geo
+    l = t * p
+    qs = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+    qc = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+    pos = jnp.asarray(0.2 * rng.standard_normal((l, h, d)), jnp.float32)
+    mask = np.ones((b, l), bool)
+    mask[0, l // 2:] = False
+    mask = jnp.asarray(mask)
+    got = dual_activation_attention(qs, qc, k, v, mask, num_frames=t,
+                                    temporal_pos=pos)
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "xla")
+    want = dual_activation_attention(qs, qc, k, v, mask, num_frames=t,
+                                     temporal_pos=pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
