@@ -102,11 +102,28 @@ def _make_bench_videos(tmpdir: str, n: int):
 
 
 def _decode_worker(paths, fps, buffers, free_q: "queue.Queue",
-                   ready_q: "queue.Queue", stop: threading.Event):
+                   ready_q: "queue.Queue", stop: threading.Event,
+                   err: list):
     """Decode whole batches of 1-sec clips directly into preallocated planar
     YUV batch buffers (zero host-side copies between decoder and transfer).
     Falls back to the opencv RGB backend (+ host RGB->YUV) if the native lib
-    is unavailable."""
+    is unavailable. Any failure is recorded in ``err`` and signalled to the
+    consumer with a ``None`` sentinel on ready_q — a silently-dead producer
+    would otherwise hang the bench forever at ready_q.get() and blank the
+    driver artifact."""
+    try:
+        _decode_worker_inner(paths, fps, buffers, free_q, ready_q, stop)
+    except BaseException as e:  # noqa: BLE001 — must never die silently
+        err.append(f"{type(e).__name__}: {e}")
+        stop.set()
+        try:
+            ready_q.put_nowait(None)
+        except queue.Full:
+            pass
+
+
+def _decode_worker_inner(paths, fps, buffers, free_q: "queue.Queue",
+                         ready_q: "queue.Queue", stop: threading.Event):
     stride = ((int(fps * CLIP_SECONDS) - 1) / (NUM_FRAMES - 1)) / fps
     times = [i * stride for i in range(NUM_FRAMES)]
     try:
@@ -114,7 +131,7 @@ def _decode_worker(paths, fps, buffers, free_q: "queue.Queue",
 
         lib = NativeVideoLib.get()
         decode_into = lambda p, y, u, v: lib.read_frames_yuv_into(p, times, y, u, v)
-    except ImportError:
+    except (ImportError, OSError):  # lib missing OR loadable-but-broken
         import cv2
 
         from dfd_clip_tpu.data.video import OpenCVBackend
@@ -142,10 +159,17 @@ def _decode_worker(paths, fps, buffers, free_q: "queue.Queue",
         for b in range(BATCH_CLIPS):
             decode_into(paths[i % len(paths)], y[b], u[b], v[b])
             i += 1
-        # stage the host->device transfer here so it overlaps the main
-        # thread's dispatch work (device_put copies synchronously, so the
-        # buffer is immediately reusable)
+        # Stage the host->device transfer here so it overlaps the main
+        # thread's dispatch work. device_put's host-buffer lifetime is
+        # platform-dependent (on axon it returns before the bytes land —
+        # see the tunnel probe below), so the slot must NOT be recycled
+        # until the transfer has demonstrably completed: fetch one element
+        # back before releasing. Costs one RTT per batch in this worker
+        # thread (negligible on PCIe hosts; ambient on the dev tunnel),
+        # buys the invariant that a recycled buffer is never overwritten
+        # mid-transfer with torn frames.
         staged = (jax.device_put(y), jax.device_put(u), jax.device_put(v))
+        np.asarray(staged[0][0, 0, 0, 0])
         while not stop.is_set():
             try:
                 ready_q.put(staged, timeout=0.5)
@@ -339,7 +363,6 @@ def main():
     from dfd_clip_tpu.ops.image_ops import yuv420_to_rgb
 
     model, params = _build_model()
-    predict = jax.jit(lambda p, x, m: model.predict(p, x, m)[0][0])
     predict_yuv = jax.jit(
         lambda p, y, u, v, m: model.predict(p, yuv420_to_rgb(y, u, v, True), m)[0][0]
     )
@@ -366,10 +389,11 @@ def main():
         for s in range(n_slots):
             free_q.put(s)
         stop = threading.Event()
+        worker_err: list = []
         workers = [
             threading.Thread(
                 target=_decode_worker,
-                args=(paths, fps, buffers, free_q, ready_q, stop),
+                args=(paths, fps, buffers, free_q, ready_q, stop, worker_err),
                 daemon=True,
             )
             for _ in range(DECODE_THREADS)
@@ -378,7 +402,10 @@ def main():
             w.start()
 
         def run_batch():
-            y, u, v = ready_q.get()
+            item = ready_q.get(timeout=600)
+            if item is None:
+                raise RuntimeError(f"decode worker died: {worker_err}")
+            y, u, v = item
             return predict_yuv(params, y, u, v, mask)
 
         # warmup (compile + queue fill); np.asarray forces real completion —
@@ -467,9 +494,8 @@ def main():
         t = sorted(slopes)[len(slopes) // 2]
         return BATCH_CLIPS / t / n_chips
 
-    dev_per_chip = measure_device_only(
-        jax.jit(lambda p, x, m: model.predict(p, x, m)[0][0]), params
-    )
+    predict = jax.jit(lambda p, x, m: model.predict(p, x, m)[0][0])
+    dev_per_chip = measure_device_only(predict, params)
 
     # opt-in W8A8 mode (op_mode.compute_int8): ~1.3x the bf16 default on the
     # int8 MXU with in-kernel dynamic activation quant. Reported separately —

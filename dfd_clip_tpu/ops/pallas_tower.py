@@ -74,7 +74,6 @@ def _make_tower_kernel(
     group: int,
     first: int,
     last: int,
-    t: int,
     drop_cls: bool,
     int8_gemm: bool,
     int8_wo: bool,
@@ -380,7 +379,7 @@ def fused_encoder_tower(
         ]
 
     k, v = pl.pallas_call(
-        _make_tower_kernel(heads, head_dim, frames, group, first, last, t,
+        _make_tower_kernel(heads, head_dim, frames, group, first, last,
                            drop_cls, int8_gemm, int8_wo, int8_attn,
                            dma_export, dt),
         out_shape=(

@@ -75,3 +75,34 @@ def test_probe_disabled_skips_subprocess(monkeypatch, capsys):
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     assert bench.main() == 1
     _parse_artifact(capsys)
+
+
+def test_decode_worker_death_signals_consumer(tmp_path):
+    """A decode-worker crash must surface as an error, not an eternal hang:
+    the worker records the failure, sets stop, and posts a None sentinel so
+    the consumer's ready_q.get() unblocks (previously only ImportError was
+    caught and any other worker death deadlocked the bench silently,
+    producing no driver artifact at all)."""
+    import queue
+    import threading
+
+    free_q: "queue.Queue" = queue.Queue()
+    ready_q: "queue.Queue" = queue.Queue(maxsize=1)
+    stop = threading.Event()
+    err: list = []
+    free_q.put(0)
+    # nonexistent paths make the decode raise inside the worker loop
+    buffers = [tuple(__import__("numpy").empty((1, 2, 8, 8), "uint8")
+                     for _ in range(3))]
+    w = threading.Thread(
+        target=bench._decode_worker,
+        args=([str(tmp_path / "missing.avi")], 20.0, buffers, free_q,
+              ready_q, stop, err),
+        daemon=True,
+    )
+    w.start()
+    w.join(timeout=60)
+    assert not w.is_alive()
+    assert err, "worker must record its failure"
+    assert stop.is_set()
+    assert ready_q.get(timeout=5) is None  # sentinel unblocks the consumer
