@@ -58,8 +58,18 @@ def _runtime_or_default(runtime):
 def _probe_video_table(root: str, subdir: str, vid_ext: str, cache_name: str,
                        runtime) -> Dict[str, Dict[str, Any]]:
     """Scan a videos dir into {name: meta}, pickle-cached like the reference
-    (src/datasets.py:420-472)."""
-    video_cache = path.expanduser(f"{CACHE_DIR}/{cache_name}.pkl")
+    (src/datasets.py:420-472). Unlike the reference's cache key (class-type-
+    comp only), the file name also carries a digest of (root, subdir,
+    vid_ext): two datasets of the same class pointed at DIFFERENT roots
+    must not share one table — the stale table's relative paths would be
+    re-joined onto the new root (wrong lengths, missing files that the
+    retry loop then masks as endless decode errors)."""
+    import hashlib
+
+    digest = hashlib.sha1(
+        f"{path.abspath(root)}|{subdir}|{vid_ext}".encode()
+    ).hexdigest()[:10]
+    video_cache = path.expanduser(f"{CACHE_DIR}/{cache_name}-{digest}.pkl")
     if path.isfile(video_cache):
         with open(video_cache, "rb") as f:
             video_metas = pickle.load(f)
@@ -239,6 +249,8 @@ class FFPP:
         self.stack_video_clips.pop(0)
 
     def __len__(self):
+        if not self.stack_video_clips:  # empty list/split: 0, not IndexError
+            return 0
         return len(self.video_list) if self.pack else self.stack_video_clips[-1]
 
     def video_info(self, idx):
@@ -470,6 +482,8 @@ class _TestOnlyVideoDataset:
         self.stack_video_clips.pop(0)
 
     def __len__(self):
+        if not self.stack_video_clips:  # empty list/split: 0, not IndexError
+            return 0
         return len(self.video_list) if self.pack else self.stack_video_clips[-1]
 
     def __getitem__(self, idx):
@@ -696,6 +710,22 @@ class RPPG:
         self.compressions = list(config.compressions)
         self.cropped_folder = config.cropped_folder
         self.runtime_labels = bool(config.runtime)
+        if self.runtime_labels:
+            # The class contract (docstring): the runtime heartpy path is
+            # used only when the optional deps are importable. Without this
+            # gate, a missing heartpy/pyedflib raised inside get_dict where
+            # the catch-all retry loop resamples forever (every index fails
+            # identically) — an infinite hang instead of the documented
+            # fallback to the offline Measures artifacts.
+            try:
+                import heartpy  # noqa: F401
+                import pyedflib  # noqa: F401
+            except ImportError:
+                logger.warning(
+                    "RPPG runtime=1 but heartpy/pyedflib are not importable;"
+                    " falling back to offline Measures labels"
+                )
+                self.runtime_labels = False
         self.label_type = config.label_type
         self.label_dim = config.label_dim
         self._rng = np.random.default_rng(seed + index)
@@ -787,6 +817,11 @@ class RPPG:
                 if not self.runtime_labels:
                     sm = self.session_measures[session_idx]
                     mi = next(i for i, x in enumerate(sm["idx"]) if hr_end <= x)
+                    # reference asserts 0 < measure_idx (src/datasets.py:
+                    # 899-900): mi==0 would wrap sm["idx"][-1] via negative
+                    # indexing and interpolate against the LAST measure —
+                    # a silently wrong bpm label. The retry loop resamples.
+                    assert 0 < mi, f"clip precedes first measure (session {session_idx})"
                     ratio = (sm["idx"][mi] - hr_end) / (sm["idx"][mi] - sm["idx"][mi - 1])
                     bpm = (
                         ratio * sm["data"][mi - 1]["bpm"]

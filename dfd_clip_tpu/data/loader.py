@@ -25,12 +25,14 @@ def default_collate(batch: List[Any]):
         return [default_collate([b[i] for b in batch]) for i in range(len(first))]
     if isinstance(first, np.ndarray):
         return np.stack(batch)
+    # bool before int: Python bool IS an int subclass, so the int branch
+    # would otherwise collate True/False to int64
+    if isinstance(first, (bool, np.bool_)):
+        return np.asarray(batch, bool)
     if isinstance(first, (int, np.integer)):
         return np.asarray(batch, np.int64)
     if isinstance(first, (float, np.floating)):
         return np.asarray(batch, np.float64)
-    if isinstance(first, (bool, np.bool_)):
-        return np.asarray(batch, bool)
     return batch
 
 
@@ -57,6 +59,17 @@ class DataLoader:
         self.epoch = 0
         self.num_shards = num_shards
         self.shard_index = shard_index
+        self._skip_batches = 0
+
+    def set_position(self, epoch: int, batches_done: int) -> None:
+        """Resume the deterministic stream mid-epoch: the next ``__iter__``
+        uses ``epoch``'s shuffle (seed + epoch) and skips the first
+        ``batches_done`` batches without touching the underlying dataset
+        (no decode work for skipped items). Used by Trainer resume so a
+        restarted run continues the data stream where the checkpoint left
+        off instead of replaying the epoch from the top."""
+        self.epoch = int(epoch)
+        self._skip_batches = int(batches_done)
 
     def _indices(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
@@ -81,6 +94,9 @@ class DataLoader:
         batches = [
             indices[i : i + self.batch_size] for i in range(0, end, self.batch_size)
         ]
+        if self._skip_batches:
+            batches = batches[self._skip_batches:]
+            self._skip_batches = 0
         if not batches:
             return iter(())
 

@@ -254,6 +254,12 @@ class Trainer(_Trainer):
             from math import comb
 
             rounds = min(comb(batch_size, 3), 10)
+            if rounds == 0:
+                raise ValueError(
+                    "train_mode.temporal='triplet' needs a global batch of"
+                    f" >= 3 clips to sample a speed triplet, got {batch_size}"
+                    " (raise trainer.batch_size)"
+                )
             idx = np.stack([
                 self.host_rng.choice(batch_size, 3, replace=False) for _ in range(rounds)
             ])
@@ -309,6 +315,20 @@ class Trainer(_Trainer):
         if self.steps >= self.config.max_steps:
             self.trigger_callbacks("on_training_end")
             return
+        if self.start_step:
+            # Resume the data stream, not just the params: every step draws
+            # exactly one batch per task loader, so the position is fully
+            # determined by the step count. Without this, the rebuilt
+            # iterators replayed the epoch from the top and the resumed run
+            # re-trained on exactly the batches the pre-crash run already
+            # consumed (duplicated data, diverges from an uninterrupted
+            # run). The loaders' (seed + epoch) shuffle makes the skip
+            # index-only — no decode work for skipped batches.
+            for dl in self.dataloaders.values():
+                per_epoch = len(dl)
+                if per_epoch > 0:
+                    dl.set_position(self.start_step // per_epoch,
+                                    self.start_step % per_epoch)
         iterators = {name: iter(dl) for name, dl in self.dataloaders.items()}
 
         # Device prefetch: decode + host->device transfer of the next round
@@ -393,6 +413,21 @@ class Trainer(_Trainer):
                 for k, v in other.items():
                     self.batch_losses[k] = to_host(v)
 
+            self.batch_loss_info = ",".join(
+                f"{np.mean(l):.6f}({n}) " for n, l in self.batch_losses.items()
+            )
+            # NaN abort (the dinov2 trainer's guard, train.py:274-276).
+            # BEFORE the optimizer apply and checkpoint: losses are already
+            # on host (to_host above, no extra sync), and aborting here
+            # leaves self.trainable at the last good params instead of
+            # applying NaN grads and possibly persisting the poisoned
+            # state via _maybe_checkpoint — a resume would then NaN again.
+            for name, losses in self.batch_losses.items():
+                if not np.isfinite(np.asarray(losses)).all():
+                    raise FloatingPointError(
+                        f"NaN/Inf loss for '{name}' at step {self.steps + 1}"
+                    )
+
             self.trainable, self.opt_state = self._apply_fn(
                 self.trainable, self.opt_state, total_grads
             )
@@ -404,16 +439,6 @@ class Trainer(_Trainer):
             if self.mode == "teacher" and not self.teaching and self.config.mode_params.teach_at < self.steps:
                 self.teaching = True
             self._maybe_checkpoint()
-
-            self.batch_loss_info = ",".join(
-                f"{np.mean(l):.6f}({n}) " for n, l in self.batch_losses.items()
-            )
-            # NaN abort (the dinov2 trainer's guard, train.py:274-276)
-            for name, losses in self.batch_losses.items():
-                if not np.isfinite(np.asarray(losses)).all():
-                    raise FloatingPointError(
-                        f"NaN/Inf loss for '{name}' at step {self.steps}"
-                    )
             self.trigger_callbacks("on_batch_end")
 
             if self.steps >= self.config.max_steps:

@@ -50,21 +50,28 @@ def prefetch_iter(iterable, place_fn, lookahead: int = 1):
     q: "queue.Queue" = queue.Queue(maxsize=lookahead)
     stop = threading.Event()
 
+    def put_stop_aware(msg) -> None:
+        # The sentinel puts must honor stop too: if the consumer leaves
+        # early (exception mid-loop) with the queue full, a bare put()
+        # blocks this daemon forever, pinning device-placed batches
+        # (same hazard data/loader.py fixed for its producer).
+        while not stop.is_set():
+            try:
+                q.put(msg, timeout=0.5)
+                return
+            except queue.Full:
+                continue
+
     def produce():
         try:
             for item in iterable:
                 placed = place_fn(item)
-                while not stop.is_set():
-                    try:
-                        q.put(("ok", placed), timeout=0.5)
-                        break
-                    except queue.Full:
-                        continue
+                put_stop_aware(("ok", placed))
                 if stop.is_set():
                     return
-            q.put(("done", None))
+            put_stop_aware(("done", None))
         except Exception as e:
-            q.put(("err", e))
+            put_stop_aware(("err", e))
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()
@@ -79,3 +86,9 @@ def prefetch_iter(iterable, place_fn, lookahead: int = 1):
                 return
     finally:
         stop.set()
+        while True:  # drain so a blocked producer put() can observe stop
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=5.0)

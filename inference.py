@@ -130,7 +130,16 @@ def main(args):
             ds_cfg, config.data.num_frames, config.data.clip_duration,
             runtime=runtime, split="test", index=config.target_task,
         )
-        stats[ds_cfg.name] = {"label": [], "prob": []}
+        # Unique report/stats key: a second entry of the same dataset class
+        # (e.g. two CDF roots via --aux_file) must not overwrite the first's
+        # accumulated stats and report row. Single-instance runs keep the
+        # reference's class-name keys verbatim.
+        ds_key = ds_cfg.name
+        n_dup = 2
+        while ds_key in stats:
+            ds_key = f"{ds_cfg.name}#{n_dup}"
+            n_dup += 1
+        stats[ds_key] = {"label": [], "prob": []}
         # rank-strided video shard: each process scores its own slice and the
         # results are assembled once at the end (ragged-safe gather)
         loader = DataLoader(test_dataset, batch_size=1,
@@ -206,8 +215,8 @@ def main(args):
             else np.zeros((0,), np.int64),
         ))
         pred_label = pred_prob.argmax(-1)
-        stats[ds_cfg.name]["label"] += labels.tolist()
-        stats[ds_cfg.name]["prob"] += pred_prob[:, 1].tolist()
+        stats[ds_key]["label"] += labels.tolist()
+        stats[ds_key]["prob"] += pred_prob[:, 1].tolist()
 
         if runtime.is_main_process:
             accuracy_calc.add_batch(pred_label, pred_prob, labels)
@@ -220,7 +229,7 @@ def main(args):
             accuracy = round(accuracy_calc.compute()["accuracy"], 3)
             roc_auc = round(roc_auc_calc.compute()["roc_auc"], 3)
             logging.info("accuracy: %s, roc_auc: %s", accuracy, roc_auc)
-            report[type(test_dataset).__name__] = {
+            report[ds_key] = {
                 "accuracy": accuracy,
                 "roc_auc": roc_auc,
             }

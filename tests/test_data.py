@@ -357,3 +357,85 @@ def test_native_decoder_corrupt_inputs_raise(tmp_path):
         lib.read_frames(ok, [100.0])
     # empty request is well-defined
     assert lib.read_frames(ok, []).shape[0] == 0
+
+
+def test_loader_set_position_resumes_stream():
+    """set_position(epoch, batches_done) must continue the deterministic
+    (seed + epoch)-shuffled stream exactly where it left off — the Trainer
+    uses it so a checkpoint resume does not replay already-trained batches."""
+    from dfd_clip_tpu.data.loader import DataLoader
+
+    data = list(range(23))
+
+    def stream(loader, n_batches):
+        out = []
+        it = iter(loader)
+        while len(out) < n_batches:
+            try:
+                out.append(next(it))
+            except StopIteration:
+                it = iter(loader)
+        return [np.asarray(b).tolist() for b in out]
+
+    full = stream(DataLoader(data, batch_size=4, shuffle=True, seed=5), 12)
+
+    # resume mid-epoch-1: consumed 7 batches total, 6 per epoch -> epoch 1, 1 done
+    resumed = DataLoader(data, batch_size=4, shuffle=True, seed=5)
+    per_epoch = len(resumed)
+    assert per_epoch == 6
+    consumed = 7
+    resumed.set_position(consumed // per_epoch, consumed % per_epoch)
+    assert stream(resumed, 5) == full[consumed:consumed + 5]
+
+
+def test_loader_set_position_skip_is_index_only():
+    """Skipped batches must not touch the dataset (no decode work)."""
+    from dfd_clip_tpu.data.loader import DataLoader
+
+    touched = []
+
+    class Recording:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            touched.append(i)
+            return i
+
+    dl = DataLoader(Recording(), batch_size=2, shuffle=False)
+    dl.set_position(0, 2)
+    batches = [np.asarray(b).tolist() for b in dl]
+    assert batches == [[4, 5], [6, 7]]
+    assert sorted(touched) == [4, 5, 6, 7]
+
+
+def test_collate_python_bools_stay_bool():
+    """bool is an int subclass: the int branch must not swallow Python
+    bools into int64 (dtype-keyed consumers — jit caches, mask logic —
+    would see int64 where bool was intended)."""
+    from dfd_clip_tpu.data.loader import default_collate
+
+    out = default_collate([True, False, True])
+    assert out.dtype == np.bool_
+    out = default_collate([1, 0, 2])
+    assert out.dtype == np.int64
+
+
+def test_prefetch_iter_producer_exits_on_early_consumer_exit():
+    """utils.device.prefetch_iter: if the consumer leaves early while the
+    bounded queue is full, the producer's pending puts (items AND the
+    done/err sentinels) must observe stop and the thread must exit — not
+    block forever pinning device-placed batches."""
+    import threading
+
+    from dfd_clip_tpu.utils.device import prefetch_iter
+
+    threads_before = {t.ident for t in threading.enumerate()}
+    it = prefetch_iter(iter(range(10)), lambda x: x, lookahead=1)
+    assert next(it) == 0
+    it.close()  # consumer gone; producer likely blocked mid-put
+    leftover = [t for t in threading.enumerate()
+                if t.ident not in threads_before and t.is_alive()]
+    for t in leftover:
+        t.join(timeout=10)
+    assert not any(t.is_alive() for t in leftover)

@@ -375,3 +375,40 @@ def test_update_metrics_trims_padding_rows(runtime):
     _update(agent)
     _compute(agent)
     assert agent.computed_metrics["metric/deepfake/ffpp/accuracy"] < 1.0
+
+
+def test_trainer_resume_advances_data_stream(runtime, ffpp_root, tmp_path):
+    """Resume must continue the data stream, not replay it: each step draws
+    one batch per task loader, so the resumed trainer positions every
+    loader at (start_step // batches_per_epoch, start_step % ...) before
+    rebuilding iterators (an earlier revision restored params/RNG but
+    restarted the stream at epoch 0, re-training on already-seen data)."""
+    from dfd_clip_tpu.data.datasets import FFPP
+
+    ckpt_dir = str(tmp_path / "ckpts_stream")
+
+    def build():
+        det = tiny_detector()
+        ds = FFPP(ffpp_config(ffpp_root), num_frames=4, clip_duration=2,
+                  runtime=runtime, split="train", index=0)
+        cfg = _trainer_cfg(max_steps=5)
+        cfg.checkpoint_interval = 3
+        cfg.checkpoint_dir = ckpt_dir
+        return Trainer(cfg, runtime, det, [ds])
+
+    t1 = build()
+    t1.config.defrost(); t1.config.max_steps = 3; t1.config.freeze()
+    t1.run()
+    assert t1.checkpointer.list_steps() == [3]
+
+    t2 = build()
+    assert t2.start_step == 3
+    calls = []
+    for dl in t2.dataloaders.values():
+        orig = dl.set_position
+        dl.set_position = (lambda e, b, _o=orig: (calls.append((e, b)), _o(e, b)))
+    t2.run()
+    assert t2.steps == 5
+    (name, dl), = t2.dataloaders.items()
+    per_epoch = len(dl)
+    assert calls == [(3 // per_epoch, 3 % per_epoch)]
