@@ -560,5 +560,34 @@ class CompInvTrainer(_Trainer):
             self.trigger_callbacks("on_batch_end")
 
             if self.steps >= self.config.max_steps:
+                self._maybe_calibrate_bn(iterators)
                 self.trigger_callbacks("on_training_end")
                 return
+
+    def _maybe_calibrate_bn(self, iterators, n_batches: int = 8):
+        """768-bn adapters: populate the eval-time BatchNorm running stats
+        from raw encoder K/V (torch tracks these as buffers during training;
+        the functional train step cannot — see adapter.calibrate_bn_stats)."""
+        cfg = getattr(self.model, "adapter_cfg", None)
+        if cfg is None or cfg.struct_type != "768-bn":
+            return
+        from ..models import adapter as adapter_lib
+
+        name = next(iter(self.dataloaders))
+        params = _merge(self.trainable, self.frozen)
+
+        def raw_kv_batches():
+            for _ in range(n_batches):
+                try:
+                    batch = next(iterators[name])
+                except StopIteration:
+                    iterators[name] = iter(self.dataloaders[name])
+                    batch = next(iterators[name])
+                x = self.runtime.shard_batch({"x": np.asarray(batch[0])})["x"]
+                _, kv_raw = self.model.predict(params, x, train=False)
+                yield {s: np.asarray(v) for s, v in kv_raw.items()}
+
+        self.trainable = dict(self.trainable)
+        self.trainable["adapter"] = adapter_lib.calibrate_bn_stats(
+            self.trainable["adapter"], raw_kv_batches(), cfg
+        )

@@ -54,9 +54,18 @@ def _init_branch(key: jax.Array, cfg: AdapterConfig) -> Params:
     st = cfg.struct_type
     ks = jax.random.split(key, 3)
     if st in ("768-x-768", "legacy-768-x-768", "768-x-768-nln", "768-x-768-ln", "768-x-768-z0"):
+        if st == "768-x-768-nln":
+            # reference: LayerNorm((patches, inner)) — JOINT normalization
+            # over the last two axes with a (P, X) affine (src/models.py:831)
+            ln = {
+                "scale": jnp.ones((cfg.patches, x), jnp.float32),
+                "bias": jnp.zeros((cfg.patches, x), jnp.float32),
+            }
+        else:
+            ln = layers.init_layer_norm(x)
         p = {
             "fc1": layers.init_linear(ks[0], w, x, bias=False),
-            "ln": layers.init_layer_norm(x if st != "768-x-768-nln" else x),
+            "ln": ln,
             "fc2": layers.init_linear(ks[1], x, w, bias=False),
         }
         if st == "768-x-768-z0":
@@ -69,6 +78,14 @@ def _init_branch(key: jax.Array, cfg: AdapterConfig) -> Params:
             "bn": {
                 "scale": jnp.ones((cfg.num_frames,), jnp.float32),
                 "bias": jnp.zeros((cfg.num_frames,), jnp.float32),
+                # BatchNorm2d buffers (torch running stats): used at eval so
+                # inference is batch-composition-independent. Never touched
+                # by the optimizer (engine/optim.py masks them from weight
+                # decay; their grads are structurally zero). Populate via
+                # calibrate_bn_stats — CompInvTrainer does so automatically
+                # at the end of a 768-bn pretrain run.
+                "mean": jnp.zeros((cfg.num_frames,), jnp.float32),
+                "var": jnp.ones((cfg.num_frames,), jnp.float32),
             },
         }
     if st == "768-xxx-768":
@@ -105,18 +122,33 @@ def _apply_branch(p: Params, x: jax.Array, cfg: AdapterConfig,
         return drop(y, cfg.dropout, 0)
     if st in ("768-x-768-nln", "768-x-768-ln", "768-x-768-z0"):
         y = layers.linear(p["fc1"], x)
-        # nln normalizes over (patches, inner) jointly; approximated per-token
-        # here — last-axis LN is the TPU-friendly equivalent used for all three.
-        y = layers.layer_norm(p["ln"], y)
+        if st == "768-x-768-nln":
+            # LayerNorm((patches, inner)): joint stats over the last TWO
+            # axes, (P, X) elementwise affine — exact reference semantics
+            # (torch LayerNorm with a 2-D normalized_shape).
+            f32 = y.astype(jnp.float32)
+            mu = jnp.mean(f32, axis=(-2, -1), keepdims=True)
+            var = jnp.var(f32, axis=(-2, -1), keepdims=True)
+            y = ((f32 - mu) * jax.lax.rsqrt(var + 1e-5)
+                 * p["ln"]["scale"] + p["ln"]["bias"]).astype(y.dtype)
+        else:
+            y = layers.layer_norm(p["ln"], y)
         y = jax.nn.gelu(y)
         y = drop(y, cfg.dropout / 10, 0)
         y = layers.linear(p["fc2"], y)
         return drop(y, cfg.dropout, 1)
     if st == "768-bn":
         y = layers.linear(p["fc1"], x)
-        # BatchNorm2d over the frame axis, inference-style (per-batch stats).
-        mean = jnp.mean(y, axis=(0, 2, 3), keepdims=True)
-        var = jnp.var(y, axis=(0, 2, 3), keepdims=True)
+        # BatchNorm2d over the frame axis: batch statistics during training
+        # (torch train-mode behavior), stored running statistics at eval —
+        # torch eval-mode behavior; per-batch stats at eval would make a
+        # video's logits depend on which other clips share its batch.
+        if train:
+            mean = jnp.mean(y, axis=(0, 2, 3), keepdims=True)
+            var = jnp.var(y, axis=(0, 2, 3), keepdims=True)
+        else:
+            mean = p["bn"]["mean"][None, :, None, None]
+            var = p["bn"]["var"][None, :, None, None]
         y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
         y = y * p["bn"]["scale"][None, :, None, None] + p["bn"]["bias"][None, :, None, None]
         return drop(y, cfg.dropout, 0)
@@ -156,18 +188,77 @@ def apply_adapter(
 ) -> Dict[str, jax.Array]:
     """Adapt {"k","v"}: (Lsel, B, T, P, H, D) per-layer with residual add."""
     out = {}
-    for subject in ("k", "v"):
+    for si, subject in enumerate(("k", "v")):
         feats = kvs[subject]
         nsel, b, t, p, h, d = feats.shape
         adapted = []
         for i in range(nsel):
             x = feats[i].reshape(b, t, p, h * d)
-            sub = None if rng is None else jax.random.fold_in(rng, i)
+            # fold in the subject too: the k- and v-branch dropout masks
+            # must be independent (reference: separate torch Dropout
+            # modules), not perfectly correlated per layer
+            sub = (None if rng is None
+                   else jax.random.fold_in(rng, 2 * i + si))
             y = _apply_branch(params["blocks"][i][subject], x, cfg, sub, train)
             y = y.reshape(b, t, p, h, d)
             adapted.append(feats[i] + y if cfg.residual else y)
         out[subject] = jnp.stack(adapted)
     return out
+
+
+def calibrate_bn_stats(params: Params, kv_batches, cfg: AdapterConfig) -> Params:
+    """Populate the 768-bn running statistics from data (one pass).
+
+    torch's BatchNorm2d maintains running stats via momentum-EMA during
+    training; the jitted functional train step here cannot mutate buffers,
+    so eval-time stats are computed explicitly instead: feed a few batches
+    of RAW encoder K/V exports (the adapter's input distribution —
+    ``kv_batches``: iterable of {"k","v"}: (Lsel, B, T, P, H, D)) and store
+    the population mean/var of each branch's post-fc1 activations per frame
+    channel. CompInvTrainer calls this automatically at the end of a 768-bn
+    pretrain run; call it manually after scratch-training such an adapter
+    inside the Detector."""
+    if cfg.struct_type != "768-bn":
+        return params
+    import numpy as np
+
+    stats = None  # [subject][layer] -> (count, sum, sumsq) per frame channel
+    for kvs in kv_batches:
+        nsel = kvs["k"].shape[0]
+        if stats is None:
+            stats = {s: [[0, 0.0, 0.0] for _ in range(nsel)] for s in ("k", "v")}
+        for subject in ("k", "v"):
+            feats = kvs[subject]
+            nsel, b, t, p, h, d = feats.shape
+            for i in range(nsel):
+                x = feats[i].reshape(b, t, p, h * d)
+                y = np.asarray(
+                    layers.linear(params["blocks"][i][subject]["fc1"], x),
+                    dtype=np.float64,
+                )
+                st = stats[subject][i]
+                st[0] += y.shape[0] * y.shape[2] * y.shape[3]
+                st[1] += y.sum(axis=(0, 2, 3))
+                st[2] += (y * y).sum(axis=(0, 2, 3))
+    if stats is None:
+        raise ValueError("calibrate_bn_stats needs at least one batch")
+
+    import jax.numpy as _jnp
+
+    new_blocks = []
+    for i, blk in enumerate(params["blocks"]):
+        nb = dict(blk)
+        for subject in ("k", "v"):
+            n, sm, sq = stats[subject][i]
+            mean = sm / n
+            var = sq / n - mean * mean
+            br = dict(nb[subject])
+            br["bn"] = dict(br["bn"])
+            br["bn"]["mean"] = _jnp.asarray(mean, _jnp.float32)
+            br["bn"]["var"] = _jnp.asarray(np.maximum(var, 0.0), _jnp.float32)
+            nb[subject] = br
+        new_blocks.append(nb)
+    return {**params, "blocks": new_blocks}
 
 
 class CompInvEncoder:

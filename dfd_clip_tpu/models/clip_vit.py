@@ -419,9 +419,14 @@ def clip_vision_kv(
                 )
         else:
             # compute_int8 quantizes the same GEMMs as the fused kernels (qkv
-            # in-projection + both MLP GEMMs) so the two paths share numerics
-            # and the CPU drift test bounds the composition TPU actually runs.
+            # in-projection + both MLP GEMMs + the attention out-proj, which
+            # the kernels run W8A8 under DFD_INT8_WO=1, the default) so the
+            # two paths share numerics and the CPU drift test bounds the
+            # composition TPU actually runs.
             lin = layers.linear_w8a8 if compute_int8 else layers.linear
+            int8_wo = (compute_int8
+                       and _os.environ.get("DFD_INT8_WO", "1") == "1")
+            lin_wo = layers.linear_w8a8 if int8_wo else layers.linear
             y = layers.layer_norm(bp["ln_1"], h)
             qkv = lin(bp["attn"]["in_proj"], y)  # (N, T, 3W) packed
             if i in keep:
@@ -431,7 +436,7 @@ def clip_vision_kv(
                 v = src[..., 2 * w :].reshape(n, tt, cfg.heads, cfg.head_dim)
             if i < last:
                 attn_out = encoder_self_attention_qkv(qkv, cfg.heads, cfg.head_dim)
-                h = h + layers.linear(bp["attn"]["out_proj"], attn_out)
+                h = h + lin_wo(bp["attn"]["out_proj"], attn_out)
         if k is not None:
             if kv_int8:
                 collected[i] = quantize(k) + quantize(v)  # (kq, ks, vq, vs)
@@ -446,11 +451,9 @@ def clip_vision_kv(
             else:
                 collected[i] = (k.astype(compute_dtype), v.astype(compute_dtype))
         if i < last:
-            import os
-
             if fused and full_block:
                 continue  # MLP already applied inside fused_encoder_block
-            if fused and os.environ.get("DFD_FUSED_MLP", "1") != "0":
+            if fused and _os.environ.get("DFD_FUSED_MLP", "1") != "0":
                 # the MLP half in one Pallas call too: LN2 + c_fc + QuickGELU
                 # + c_proj + residual with the (T, 4W) intermediate in VMEM.
                 # Measured same-process A/B at flagship shapes: predict

@@ -551,8 +551,11 @@ class Detector:
         out: Dict[str, jax.Array] = {}
         out["recon"] = jnp.zeros((), jnp.float32)
         if mode == "feature-match":
-            vf = video_features if video_features.ndim == 2 else video_features.reshape(b, -1)
-            raw, c23 = pair_order(vf.astype(jnp.float32), 0)
+            # Keep the (B, num_blocks, W) shape under global_prediction: the
+            # reference softmaxes each block's feature over W (dim=-1,
+            # src/models.py:627-632); flattening to (B, L*W) would normalize
+            # across blocks jointly — a different objective.
+            raw, c23 = pair_order(video_features.astype(jnp.float32), 0)
             log_p = jax.nn.log_softmax(raw, axis=-1)
             log_q = jax.nn.log_softmax(c23, axis=-1)
             # torch kl_div(log_q, log_p, log_target=True, reduction='mean')

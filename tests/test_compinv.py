@@ -104,3 +104,46 @@ def test_compinv_trainer_and_evaluator(ffpp_root):
     evaluator.add_callback("on_batch_end", lambda e: seen.append(dict(e.batch_losses)))
     evaluator.run(trainer)
     assert any("match" in s for s in seen)
+
+
+def test_bn_adapter_eval_uses_calibrated_stats(ffpp_root):
+    """768-bn: eval must use stored BatchNorm running statistics (torch
+    eval-mode behavior) so a clip's output does not depend on its batch
+    companions; CompInvTrainer calibrates those stats from raw encoder K/V
+    at the end of the run (the functional train step cannot maintain
+    torch's momentum-EMA buffers)."""
+    runtime = MeshRuntime()
+    model = tiny_compinv(adapter={"struct": {"type": "768-bn", "x": 32}})
+    assert model.adapter_cfg.struct_type == "768-bn"
+
+    ds = FFPP(ffpp_config(ffpp_root, pair=1, compressions=["raw", "c23"]),
+              num_frames=4, clip_duration=2, runtime=runtime, split="train", index=0)
+    cfg = CompInvTrainer.get_default_config()
+    cfg.max_steps = 1
+    cfg.batch_size = 1
+    cfg.num_workers = 0
+    trainer = CompInvTrainer(cfg, runtime, model, [ds])
+    init_mean = np.asarray(
+        trainer.trainable["adapter"]["blocks"][0]["k"]["bn"]["mean"])
+    trainer.run()
+    cal_mean = np.asarray(
+        trainer.trainable["adapter"]["blocks"][0]["k"]["bn"]["mean"])
+    cal_var = np.asarray(
+        trainer.trainable["adapter"]["blocks"][0]["k"]["bn"]["var"])
+    assert not np.allclose(cal_mean, init_mean), "calibration must run"
+    assert (cal_var > 0).all()
+
+    # eval-mode output is batch-composition independent
+    import dataclasses
+    from dfd_clip_tpu.models import adapter as adapter_lib
+
+    params = {**trainer.frozen, **trainer.trainable}
+    rng = np.random.default_rng(0)
+    xa = rng.integers(0, 255, (1, 4, 3, 32, 32), np.uint8).astype(np.float32) / 255.0
+    xb = rng.integers(0, 255, (1, 4, 3, 32, 32), np.uint8).astype(np.float32) / 255.0
+    kv_a, _ = model.predict(params, jnp.asarray(xa), train=False)
+    kv_ab, _ = model.predict(params, jnp.asarray(np.concatenate([xa, xb])),
+                             train=False)
+    np.testing.assert_allclose(np.asarray(kv_a["k"][:, :1]),
+                               np.asarray(kv_ab["k"][:, :1]),
+                               rtol=1e-5, atol=1e-5)

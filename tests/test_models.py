@@ -519,3 +519,44 @@ def test_adapter_grads_flow_on_pallas_train_path(rng, monkeypatch):
             np.asarray(g), np.asarray(w), rtol=5e-4, atol=5e-5),
         got, want,
     )
+
+
+def test_feature_match_global_prediction_per_block_softmax(rng):
+    """Under global_prediction, video_features is (B, num_blocks, W): the
+    feature-match KL must softmax each block over W separately (reference
+    src/models.py:627-632), not over a flattened (num_blocks*W,) vector.
+    Verified against a direct NumPy computation of the reference formula."""
+    det = _tiny_detector(train_mode={"compression": "feature-match"},
+                         op_mode={"global_prediction": 1,
+                                  "temporal_position": 1})
+    params = det.init_params(jax.random.key(0))
+    b = 4
+    x = rng.integers(0, 255, (b, 4, 3, 32, 32), dtype=np.uint8)
+    comp_is_raw = jnp.asarray(np.array([True, False, False, True]))
+    _, _, other = det.forward(
+        params, jnp.asarray(x), [jnp.asarray(np.array([0, 0, 1, 1]))],
+        jnp.ones((b, 4), bool), comp_is_raw=comp_is_raw, train=True,
+        single_task=0,
+    )
+
+    _, feats = det.predict(params, jnp.asarray(x), jnp.ones((b, 4), bool),
+                           with_video_features=True)
+    vf = np.asarray(feats["video"], np.float64)  # (B, num_blocks, W)
+    assert vf.ndim == 3 and vf.shape[1] > 1
+
+    def log_softmax(a):
+        a = a - a.max(-1, keepdims=True)
+        return a - np.log(np.exp(a).sum(-1, keepdims=True))
+
+    w_pairs = b // 2
+    total = 0.0
+    for pair in range(w_pairs):
+        i0, i1 = 2 * pair, 2 * pair + 1
+        raw_i, c23_i = (i0, i1) if bool(comp_is_raw[i0]) else (i1, i0)
+        log_p = log_softmax(vf[raw_i])
+        log_q = log_softmax(vf[c23_i])
+        kl = np.exp(log_p) * (log_p - log_q)
+        total += kl.mean() / w_pairs  # torch kl_div reduction='mean'
+    expected = 100.0 * total
+    np.testing.assert_allclose(float(other["match"]), expected,
+                               rtol=1e-3, atol=1e-5)
