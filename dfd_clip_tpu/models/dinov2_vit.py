@@ -167,7 +167,11 @@ def _pos_embed_for(pos: jax.Array, n_tokens: int, cfg: ViTConfig) -> jax.Array:
     dst_grid = int(round((n_tokens - 1) ** 0.5))
     cls_pos = pos[:1]
     grid = pos[1:].reshape(src_grid, src_grid, -1)
-    grid = jax.image.resize(grid, (dst_grid, dst_grid, grid.shape[-1]), "bicubic")
+    # antialias=False: torch F.interpolate(bicubic) does not antialias, and
+    # local crops DOWNSCALE the grid, where antialiasing changes the result
+    # materially (reference interpolate_pos_encoding parity)
+    grid = jax.image.resize(grid, (dst_grid, dst_grid, grid.shape[-1]),
+                            "bicubic", antialias=False)
     return jnp.concatenate([cls_pos, grid.reshape(dst_grid * dst_grid, -1)], axis=0)
 
 

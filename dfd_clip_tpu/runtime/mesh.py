@@ -170,6 +170,22 @@ class MeshRuntime:
         sh = self.replicated
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
+    def shard_local_batch(self, x, batch_axis: int = 0):
+        """Assemble a global device array sharded over 'data' at
+        ``batch_axis`` from this process's LOCAL slice of the batch.
+
+        Unlike ``shard_batch`` (whose device_put contract requires every
+        process to hold the identical GLOBAL batch), each process passes
+        only its own rows — the per-rank-sampler design the SSL trainer
+        uses. Single-process this is a plain sharded device_put."""
+        if x is None:
+            return None
+        spec = P(*([None] * batch_axis + ["data"]))
+        sharding = NamedSharding(self.mesh, spec)
+        if self.num_processes == 1:
+            return jax.device_put(x, sharding)
+        return jax.make_array_from_process_local_data(sharding, x)
+
     def pad_batch_to_devices(self, n: int) -> int:
         """Smallest multiple of the data-axis size that is >= n."""
         dp = self.data_parallel
@@ -184,6 +200,16 @@ class MeshRuntime:
         """
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
             shards = [s for s in x.addressable_shards if s.replica_id == 0]
+            for s in shards:
+                for axis, sl in enumerate(s.index):
+                    if axis > 0 and (sl.start or 0) != 0:
+                        # concatenating along axis 0 would silently scramble
+                        # an array sharded on a later axis (e.g. the seq
+                        # token axis) into wrong-shaped batch rows
+                        raise NotImplementedError(
+                            "to_host only reassembles leading-axis-sharded "
+                            f"arrays; got a shard at index {s.index}"
+                        )
             shards.sort(key=lambda s: tuple(
                 (sl.start or 0) for sl in s.index
             ))

@@ -34,6 +34,10 @@ def extract_features(
     )
     feats = []
     n = len(images)
+    if n == 0:
+        raise ValueError(
+            "extract_features got an empty image set (empty eval split?)"
+        )
     for i in range(0, n, batch_size):
         x = images[i : i + batch_size]
         valid = x.shape[0]

@@ -99,7 +99,10 @@ def sinkhorn_knopp_masked(
     m = patch_mask.reshape(n * p).astype(jnp.float32)
     Q = jnp.exp(z - jnp.max(z)).T * m[None, :]  # (K, N*P), unmasked cols = 0
     B = jnp.maximum(jnp.sum(m), 1.0)
-    Q = Q / jnp.sum(Q)
+    # guard the no-masked-patches batch (mask_sample_prob can produce one):
+    # sum(Q)=0 would give 0/0=NaN teacher probs whose NaN leaks into the
+    # student grads through the where() backward
+    Q = Q / jnp.maximum(jnp.sum(Q), 1e-30)
 
     def body(_, Q):
         rows = jnp.sum(Q, axis=1, keepdims=True)
@@ -122,7 +125,11 @@ def ibot_patch_loss(
     teacher_probs: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """CE between teacher and student patch distributions on masked patches
-    only, normalized by masked-patch count (ibot_patch_loss.py:84-121).
+    only, with the reference's per-image weighting (forward_masked,
+    ibot_patch_loss.py:107-127): each image's masked patches are weighted by
+    1/its own masked count and the sum is divided by the image count, so an
+    image masking many patches does not dominate one masking few (mask
+    ratios are sampled per-image in [ratio_min, ratio_max]).
     ``teacher_probs`` overrides softmax-centering (sinkhorn_knopp mode)."""
     if teacher_probs is not None:
         t_probs = teacher_probs
@@ -132,9 +139,10 @@ def ibot_patch_loss(
         )
     s_logp = jax.nn.log_softmax(student_patch_logits / student_temp, axis=-1)
     per_patch = -jnp.sum(t_probs * s_logp, axis=-1)  # (B, P)
-    masked = jnp.where(patch_mask, per_patch, 0.0)
+    per_image_count = jnp.maximum(jnp.sum(patch_mask, axis=-1, keepdims=True), 1.0)
+    masked = jnp.where(patch_mask, per_patch / per_image_count, 0.0)
+    loss = jnp.sum(masked) / patch_mask.shape[0]
     count = jnp.maximum(jnp.sum(patch_mask), 1)
-    loss = jnp.sum(masked) / count
 
     batch_center = jnp.sum(
         jnp.where(patch_mask[..., None], teacher_patch_logits, 0.0), axis=(0, 1)

@@ -166,7 +166,11 @@ class SSLMetaArch:
             teacher_probs=t_probs_ibot,
         )
 
-        koleo = loss_lib.koleo_loss(s_out_g["cls"][:b])  # first global crop
+        # BOTH global crops, summed (reference ssl_meta_arch.py:316-318:
+        # sum over student_cls_tokens.chunk(2) — never between the two
+        # crops of one image, hence per-crop calls)
+        koleo = (loss_lib.koleo_loss(s_out_g["cls"][:b])
+                 + loss_lib.koleo_loss(s_out_g["cls"][b:]))
 
         total = c.dino_weight * dino + c.ibot_weight * ibot + c.koleo_weight * koleo
         if c.centering == "sinkhorn_knopp":

@@ -163,6 +163,14 @@ class SSLTrainer:
                     grads[head]["last_v"] = grads[head]["last_v"] * live
                     grads[head]["last_g"] = grads[head]["last_g"] * live
             updates, opt_state2 = self.optimizer.update(grads, opt_state, student)
+            # zeroed GRADS are not enough: decoupled/scheduled weight decay
+            # still emits wd*p updates for the frozen prototypes — zero the
+            # UPDATE so the layer truly does not move during the freeze
+            # window (torch's grad=None skips the param entirely)
+            for head in ("dino_head", "ibot_head"):
+                if head in updates:
+                    updates[head]["last_v"] = updates[head]["last_v"] * live
+                    updates[head]["last_g"] = updates[head]["last_g"] * live
             student2 = optax.apply_updates(student, updates)
             m = self.momentum_schedule(step)
             teacher2 = meta.ema_update(teacher, student2, m)
@@ -190,6 +198,16 @@ class SSLTrainer:
                     jax.tree_util.tree_leaves(self._place(arrays["opt_state"])),
                 )
                 self.start_step = aux["step"]
+                if "host_rng_state" in aux:
+                    # rank-0's augmentation stream continues exactly; other
+                    # ranks re-derive (their states are not in the ckpt)
+                    if runtime.is_main_process:
+                        self.host_rng.bit_generator.state = aux["host_rng_state"]
+                    else:
+                        self.host_rng = np.random.default_rng(
+                            (config.seed + runtime.process_index) * 1_000_003
+                            + self.start_step
+                        )
 
     def _shard_params(self, tree):
         import jax
@@ -241,12 +259,25 @@ class SSLTrainer:
         import threading as _threading
 
         cfg = self.config
-        batch = cfg.batch_size * self.runtime.data_parallel
+        # Each process samples/augments only its OWN slice of the global
+        # batch (the sampler is rank-sharded, host_rng rank-seeded);
+        # shard_local_batch assembles the global sharded arrays. On resume,
+        # advance the sampler past the consumed items so the stream
+        # continues instead of replaying from step 0 (the engine trainer's
+        # set_position fix, applied to the SSL stream).
+        global_batch = cfg.batch_size * self.runtime.data_parallel
+        if global_batch % self.runtime.num_processes:
+            raise ValueError(
+                f"global batch {global_batch} not divisible by"
+                f" {self.runtime.num_processes} processes"
+            )
+        batch = global_batch // self.runtime.num_processes
         self._sampler_iter = iter(
             ShardedInfiniteSampler(
                 max(len(self.dataset), 1), seed=cfg.seed,
                 shard_index=self.runtime.process_index,
                 num_shards=self.runtime.num_processes,
+                advance=self.start_step * batch,
             )
         )
 
@@ -259,10 +290,16 @@ class SSLTrainer:
             try:
                 while not stop.is_set():
                     g, l, masks = self._next_batch(batch)
+                    # (2, B, ...) / (nl, B, ...) / (2, B, P): the batch axis
+                    # is axis 1 — shard it over the mesh's data axis so the
+                    # step actually runs data-parallel (a bare device_put
+                    # would commit the full batch to device 0 and leave the
+                    # computation replicated, and rejects multi-host outright)
+                    rt = self.runtime
                     item = (
-                        jax.device_put(g),
-                        jax.device_put(l) if l is not None else None,
-                        jax.device_put(masks),
+                        rt.shard_local_batch(g, batch_axis=1),
+                        rt.shard_local_batch(l, batch_axis=1),
+                        rt.shard_local_batch(masks, batch_axis=1),
                     )
                     while not stop.is_set():
                         try:
@@ -312,7 +349,10 @@ class SSLTrainer:
                 # barrier so no rank races past an in-progress write
                 host_tree = self.runtime.materialize(self._arrays())
                 if self.runtime.is_main_process:
-                    self.checkpointer.save(step + 1, host_tree, {})
+                    self.checkpointer.save(
+                        step + 1, host_tree,
+                        {"host_rng_state": self.host_rng.bit_generator.state},
+                    )
                 self.runtime.barrier(f"ssl_ckpt_{step + 1}")
             if step % 10 == 0:
                 self.runtime.print(f"ssl step {step}: {last_metrics}")

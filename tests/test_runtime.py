@@ -83,3 +83,25 @@ def test_mesh_registration_scoping():
     assert mesh_rt.current_mesh() is rt1.mesh
 
     mesh_rt.set_current_mesh(base)  # the autouse fixture also restores
+
+
+def test_shard_local_batch_axis1():
+    """shard_local_batch places a (crops, B, ...) batch sharded over the
+    data axis at axis 1 (the SSL trainer's batch layout): every device gets
+    B/dp rows, and values round-trip exactly."""
+    import jax
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from dfd_clip_tpu.runtime import MeshRuntime
+
+    rt = MeshRuntime()
+    dp = rt.data_parallel
+    x = np.arange(2 * dp * 4 * 3, dtype=np.float32).reshape(2, dp * 4, 3)
+    arr = rt.shard_local_batch(x, batch_axis=1)
+    assert arr.shape == x.shape
+    assert arr.sharding.spec == P(None, "data")
+    shard_rows = {s.data.shape[1] for s in arr.addressable_shards}
+    assert shard_rows == {4}
+    np.testing.assert_array_equal(np.asarray(arr), x)
+    rt.deactivate()

@@ -315,7 +315,9 @@ def test_local_crop_pos_embed_interpolated():
     # its first 4 rows
     pos = np.asarray(params["positional_embedding"])
     grid = pos[1:].reshape(4, 4, -1)
-    expected = np.asarray(jax.image.resize(jnp.asarray(grid), (2, 2, grid.shape[-1]), "bicubic"))
+    expected = np.asarray(jax.image.resize(
+        jnp.asarray(grid), (2, 2, grid.shape[-1]), "bicubic",
+        antialias=False))  # torch F.interpolate parity: no antialias
     got = np.asarray(dinov2_vit._pos_embed_for(
         params["positional_embedding"], 5, arch))[1:].reshape(2, 2, -1)
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
