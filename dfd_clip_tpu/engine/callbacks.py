@@ -135,21 +135,25 @@ def _softmax_np(x: np.ndarray) -> np.ndarray:
 
 def make_profiler_callbacks(trace_dir: str, start_step: int, end_step: int):
     """Trace steps [start_step, end_step) into ``trace_dir`` (view with
-    tensorboard/xprof). Register the returned fn on 'on_batch_start'."""
+    tensorboard/xprof). Register the returned fn on 'on_batch_start' AND
+    'on_training_end' — the end-of-training hook flushes a trace whose
+    window reaches the final step (no later batch ever starts, so the
+    step-count check alone would lose the profile data)."""
     import jax
 
     state = {"active": False}
 
-    def on_batch_start(agent):
+    def on_event(agent):
         step = getattr(agent, "steps", 0)
-        if not state["active"] and step == start_step:
-            jax.profiler.start_trace(trace_dir)
-            state["active"] = True
-        elif state["active"] and step >= end_step:
+        ending = getattr(agent, "event", "") == "on_training_end"
+        if state["active"] and (step >= end_step or ending):
             jax.profiler.stop_trace()
             state["active"] = False
+        elif not state["active"] and not ending and step == start_step:
+            jax.profiler.start_trace(trace_dir)
+            state["active"] = True
 
-    return on_batch_start
+    return on_event
 
 
 # -- tracking (reference src/callbacks/tracking.py) -----------------------------

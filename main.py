@@ -356,10 +356,12 @@ def main(params):
         from dfd_clip_tpu.engine.callbacks import make_profiler_callbacks
 
         start, end = config.system.profile_steps
-        trainer.add_callback(
-            "on_batch_start",
-            make_profiler_callbacks(os.path.join(PROJECT_DIR, "profile"), start, end),
+        profile_cb = make_profiler_callbacks(
+            os.path.join(PROJECT_DIR, "profile"), start, end
         )
+        trainer.add_callback("on_batch_start", profile_cb)
+        # flush a window that reaches the last step
+        trainer.add_callback("on_training_end", profile_cb)
 
     trainer.run()
 

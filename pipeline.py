@@ -77,8 +77,8 @@ def get_result(video_path: str, weight_path: str, cfg_name: str = "setting") -> 
     (reference pipeline.py:289-351)."""
     import jax
 
+    from dfd_clip_tpu import scoring
     from dfd_clip_tpu.config import CN
-    from dfd_clip_tpu.data.video import backend_for_path
     from dfd_clip_tpu.models import Detector
     from inference import load_model_params
     from main import load_pretrained_encoder
@@ -89,7 +89,6 @@ def get_result(video_path: str, weight_path: str, cfg_name: str = "setting") -> 
         preset = CN(yaml.safe_load(f), new_allowed=True)
     model_cfg = Detector.get_default_config().merge_from_other_cfg(preset.model)
     num_frames = preset.data.num_frames
-    stride = preset.data.clip_duration / num_frames
 
     folder, name = path.split(video_path)
     stem, ext = path.splitext(name)
@@ -101,50 +100,14 @@ def get_result(video_path: str, weight_path: str, cfg_name: str = "setting") -> 
     load_pretrained_encoder(model, wrapper)
     params = load_model_params(model, weight_path, "best")
 
-    backend = backend_for_path(cropped_path)
-    meta = backend.probe(cropped_path)
-    times = list(np.arange(0, meta.duration, stride))
-    # drop seek targets beyond the last frame
-    times = [t for t in times if t < meta.frames / meta.fps - 1e-6]
-    frames = backend.read_frames(cropped_path, times)  # (N, H, W, 3)
-    frames = np.ascontiguousarray(frames.transpose(0, 3, 1, 2))
-
-    clips, masks = [], []
-    for i in range(0, len(frames), num_frames):
-        chunk = frames[i : i + num_frames]
-        if len(chunk) < num_frames:
-            break
-        clips.append(chunk)
-        masks.append(np.ones((num_frames,), bool))
-    if not clips:
-        raise ValueError(f"video too short for a {num_frames}-frame window")
-
-    clips = np.stack(clips)
-    masks = np.stack(masks)
-
-    N = 16
-    predict = jax.jit(lambda p, x, m: model.predict(p, x, m)[0][0])
-    # pipelined dispatch with bounded depth (~3 in flight): each pending call
-    # pins its uint8 input batch on device, so unbounded dispatch grows device
-    # memory linearly with video length. Same pattern as inference.py.
-    depth = 3
-    pending, done = [], []
-    for i in range(0, len(clips), N):
-        x = clips[i : i + N]
-        m = masks[i : i + N]
-        n_valid = x.shape[0]
-        if n_valid < N and len(clips) > N:
-            x = np.concatenate([x, np.repeat(x[-1:], N - n_valid, 0)])
-            m = np.concatenate([m, np.repeat(m[-1:], N - n_valid, 0)])
-        pending.append((predict(params, x, m), n_valid))
-        if len(pending) >= depth:
-            o, nv = pending.pop(0)
-            done.append(np.asarray(o)[:nv])
-    done.extend(np.asarray(o)[:nv] for o, nv in pending)
-    logits = np.concatenate(done)
-    e = np.exp(logits - logits.max(-1, keepdims=True))
-    p = e / e.sum(-1, keepdims=True)
-    return float(p.mean(0)[1])
+    # Deepfake head (multi-task runs: rPPG may be task 0 — pipeline must
+    # score the same head serve.py/inference.py resolve)
+    task = scoring.resolve_deepfake_task(preset)
+    predict = jax.jit(lambda p, x, m: model.predict(p, x, m)[0][task])
+    return scoring.score_video(
+        cropped_path, predict, params,
+        num_frames=num_frames, clip_duration=preset.data.clip_duration,
+    )
 
 
 if __name__ == "__main__":

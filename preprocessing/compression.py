@@ -76,7 +76,7 @@ def main(args):
             NativeVideoLib.get()
             use_native = True
             print("ffmpeg binary not found; using native libx264 encoder", file=stderr)
-        except ImportError:
+        except (ImportError, OSError):  # missing .so OR loadable-but-broken
             print("no ffmpeg and no native lib; using OpenCV MJPEG approximation", file=stderr)
     src_videos = sorted(glob(path.join(args.data_dir, "**", f"*{args.vid_ext}"),
                              recursive=True))

@@ -19,15 +19,6 @@ from sys import stderr
 
 import numpy as np
 
-# 5-point derivation from 68 landmarks (eye centers, nose tip, mouth corners)
-FIVE_FROM_68 = {
-    "left_eye": (36, 42),
-    "right_eye": (42, 48),
-    "nose": 30,
-    "mouth_left": 48,
-    "mouth_right": 54,
-}
-
 
 def five_points(landmarks68: np.ndarray) -> np.ndarray:
     le = landmarks68[36:42].mean(axis=0)
@@ -60,43 +51,56 @@ def main(args):
         if path.isfile(out):
             continue
         print(f"[{i + 1}/{len(videos)}] {rel}", file=stderr)
+        try:
+            _segment_one(vp, out, parser_model, device)
+        except Exception as e:  # per-item isolation, like every other tool
+            # here (extract_faces.py:78-81 etc.) and the reference
+            # (segmentation.py:111-136): one missing landmarks file or
+            # unreadable video must not abort the batch sweep
+            print(f"Error on {rel}: {e}", file=stderr)
 
-        lms_path = path.splitext(vp)[0] + "_landmarks.npy"
-        if not path.isfile(lms_path):
-            lms_path = re.sub("/videos/", "/landmarks/", path.splitext(vp)[0]) + ".npy"
-        landmarks = np.load(lms_path)
 
-        cap = cv2.VideoCapture(vp)
-        fps = cap.get(cv2.CAP_PROP_FPS)
-        writer = None
-        fidx = 0
-        while cap.isOpened():
-            ret, frame = cap.read()
-            if not ret:
-                break
-            pts = five_points(landmarks[min(fidx, len(landmarks) - 1)])
-            image = torch.from_numpy(frame[..., ::-1].copy()).permute(2, 0, 1)[None].to(device)
-            faces = {
-                "rects": torch.tensor(
-                    [[pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max()]],
-                    device=device,
-                ),
-                "points": torch.from_numpy(pts[None]).float().to(device),
-                "image_ids": torch.tensor([0], device=device),
-            }
-            with torch.inference_mode():
-                parsed = parser_model(image, faces)
-            labels = parsed["seg"]["logits"].argmax(dim=1)[0].cpu().numpy().astype(np.uint8)
-            if writer is None:
-                makedirs(path.dirname(out), exist_ok=True)
-                writer = cv2.VideoWriter(
-                    out, cv2.VideoWriter_fourcc(*"FFV1"), fps, labels.shape[::-1], False
-                )
-            writer.write(labels)
-            fidx += 1
-        cap.release()
-        if writer is not None:
-            writer.release()
+def _segment_one(vp, out, parser_model, device):
+    import cv2
+    import numpy as np
+    import torch
+
+    lms_path = path.splitext(vp)[0] + "_landmarks.npy"
+    if not path.isfile(lms_path):
+        lms_path = re.sub("/videos/", "/landmarks/", path.splitext(vp)[0]) + ".npy"
+    landmarks = np.load(lms_path)
+
+    cap = cv2.VideoCapture(vp)
+    fps = cap.get(cv2.CAP_PROP_FPS)
+    writer = None
+    fidx = 0
+    while cap.isOpened():
+        ret, frame = cap.read()
+        if not ret:
+            break
+        pts = five_points(landmarks[min(fidx, len(landmarks) - 1)])
+        image = torch.from_numpy(frame[..., ::-1].copy()).permute(2, 0, 1)[None].to(device)
+        faces = {
+            "rects": torch.tensor(
+                [[pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max()]],
+                device=device,
+            ),
+            "points": torch.from_numpy(pts[None]).float().to(device),
+            "image_ids": torch.tensor([0], device=device),
+        }
+        with torch.inference_mode():
+            parsed = parser_model(image, faces)
+        labels = parsed["seg"]["logits"].argmax(dim=1)[0].cpu().numpy().astype(np.uint8)
+        if writer is None:
+            makedirs(path.dirname(out), exist_ok=True)
+            writer = cv2.VideoWriter(
+                out, cv2.VideoWriter_fourcc(*"FFV1"), fps, labels.shape[::-1], False
+            )
+        writer.write(labels)
+        fidx += 1
+    cap.release()
+    if writer is not None:
+        writer.release()
 
 
 def get_argparser():

@@ -51,69 +51,25 @@ class Scorer:
         load_pretrained_encoder(self.model, wrapper)
         self.params = load_model_params(self.model, run_dir, weight_mode)
         self.batch_size = batch_size
-        # Deepfake head index: first-appearance order of data.train
-        # categories, matching training (main.category_index_map); single-task
-        # runs resolve to 0
-        try:
-            cats = list(dict.fromkeys(d.category for d in preset.data.train))
-            task = cats.index("Deepfake")
-        except (AttributeError, KeyError, ValueError):
-            task = 0
+        from dfd_clip_tpu.scoring import resolve_deepfake_task
+
+        task = resolve_deepfake_task(preset)
         self._predict = jax.jit(
             lambda p, x, m: self.model.predict(p, x, m)[0][task]
         )
         self._lock = threading.Lock()
 
     def score_video(self, video_path: str) -> float:
-        """All clip_duration windows -> mean softmax P(fake)
-        (pipeline.get_result semantics)."""
-        from dfd_clip_tpu.data.video import backend_for_path
+        """All clip_duration windows -> mean softmax P(fake) (shared loop:
+        dfd_clip_tpu/scoring.py; the lock serializes device use across
+        HTTP handler threads)."""
+        from dfd_clip_tpu import scoring
 
-        backend = backend_for_path(video_path)
-        meta = backend.probe(video_path)
-        stride = self.clip_duration / self.num_frames
-        times = [
-            t for t in np.arange(0, meta.duration, stride)
-            if t < meta.frames / meta.fps - 1e-6
-        ]
-        frames = backend.read_frames(video_path, times)
-        frames = np.ascontiguousarray(frames.transpose(0, 3, 1, 2))
-
-        clips = [
-            frames[i : i + self.num_frames]
-            for i in range(0, len(frames) - self.num_frames + 1, self.num_frames)
-        ]
-        if not clips:
-            raise ValueError(
-                f"video too short: {len(frames)} frames < {self.num_frames}"
-            )
-        clips = np.stack(clips)
-        masks = np.ones(clips.shape[:2], bool)
-
-        with self._lock:
-            # pipelined dispatch with bounded depth: keep ~3 sub-batches in
-            # flight (each pins its ~48 MB uint8 input on device — unbounded
-            # dispatch grows device memory linearly with video length), drain
-            # the oldest beyond that. Same pattern as inference.py.
-            depth = 3
-            pending = []
-            logits = []
-            N = self.batch_size
-            for i in range(0, len(clips), N):
-                x, m = clips[i : i + N], masks[i : i + N]
-                valid = x.shape[0]
-                if valid < N and len(clips) > N:
-                    x = np.concatenate([x, np.repeat(x[-1:], N - valid, 0)])
-                    m = np.concatenate([m, np.repeat(m[-1:], N - valid, 0)])
-                pending.append((self._predict(self.params, x, m), valid))
-                if len(pending) >= depth:
-                    o, nv = pending.pop(0)
-                    logits.append(np.asarray(o)[:nv])
-            logits.extend(np.asarray(o)[:nv] for o, nv in pending)
-        logits = np.concatenate(logits)
-        e = np.exp(logits - logits.max(-1, keepdims=True))
-        p = e / e.sum(-1, keepdims=True)
-        return float(p.mean(0)[1])
+        return scoring.score_video(
+            video_path, self._predict, self.params,
+            num_frames=self.num_frames, clip_duration=self.clip_duration,
+            batch_size=self.batch_size, lock=self._lock,
+        )
 
 
 def make_handler(scorer: Scorer):

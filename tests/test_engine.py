@@ -299,8 +299,9 @@ def test_profiler_callback(ffpp_root, tmp_path):
               runtime=runtime, split="train", index=0)
     trainer = Trainer(_trainer_cfg(max_steps=3, batch_size=1), runtime, det, [ds])
     trace_dir = str(tmp_path / "trace")
-    trainer.add_callback("on_batch_start",
-                         make_profiler_callbacks(trace_dir, start_step=1, end_step=2))
+    cb = make_profiler_callbacks(trace_dir, start_step=1, end_step=2)
+    trainer.add_callback("on_batch_start", cb)
+    trainer.add_callback("on_training_end", cb)
     trainer.run()
     import os
 
