@@ -334,7 +334,14 @@ def clip_vision_kv(
     slot_of = {layer: s for s, layer in enumerate(keep)}
     nsel = len(keep)
     kacc = vacc = None
-    fresh_acc = _os.environ.get("DFD_FRESH_ACC", "0") == "1"
+    # fresh-acc default: ON for the int8 whole-block path — the round-3 chip
+    # ladder's winning composition ("ctl full-phase bf=2", 51.8 ms / 309
+    # clips/s, PERF.md session 10) runs with it, and the driver-day bench
+    # must measure the winner by default, not 3.5% under it (round-3 verdict
+    # weak #1). The bf16/split paths keep the zero-init form, whose Mosaic
+    # VMEM accounting is the proven-reliable one at frames=4 (note below).
+    fresh_acc = _os.environ.get(
+        "DFD_FRESH_ACC", "1" if (full_block and compute_int8) else "0") == "1"
     if stacked_export and not fresh_acc:
         # zero-init accumulators (one pass over the K/V footprint). An
         # uninitialized-buffer allocation (no-op ANY-space pallas outputs)

@@ -29,17 +29,19 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _compiler_params():
+def _compiler_params(default_mb: int = 64):
     """Raise Mosaic's scoped-VMEM ceiling for the fused kernels.
 
     The default scoped limit is 16 MB of the v5e's 128 MB VMEM; the
     whole-block kernels with phased (frame-interleaved) scheduling carry
     ~17-30 MB of live intermediates, which the default rejects at compile
     time ('exceeded scoped vmem limit'). 64 MB leaves half the VMEM for
-    the pipeline's double-buffered DMA windows. DFD_VMEM_LIMIT_MB overrides."""
+    the pipeline's double-buffered DMA windows; the tower megakernel's
+    windowed-export form double-buffers ~1.2 MB/frame of K/V windows and
+    passes 96. DFD_VMEM_LIMIT_MB overrides."""
     import os
 
-    mb = int(os.environ.get("DFD_VMEM_LIMIT_MB", "64"))
+    mb = int(os.environ.get("DFD_VMEM_LIMIT_MB", str(default_mb)))
     return pltpu.CompilerParams(vmem_limit_bytes=mb * 1024 * 1024)
 
 
@@ -209,7 +211,8 @@ def _quant_kv_rows(rows):
     return q, s
 
 
-def _attn_int8_cols(xf, heads, head_dim, scale, qk_only: bool = False):
+def _attn_int8_cols(xf, heads, head_dim, scale, qk_only: bool = False,
+                    kv_len: int | None = None):
     """Encoder self-attention for one frame's packed qkv (T, 3W) with the
     attention GEMMs on the int8 MXU (DFD_INT8_ATTN): Q and K per-(row, head)
     absmax-quantized, the exp'd probabilities per row, V per-channel-within-
@@ -219,9 +222,16 @@ def _attn_int8_cols(xf, heads, head_dim, scale, qk_only: bool = False):
     tests. ``qk_only`` (DFD_INT8_ATTN=qk) keeps PV in bf16: the P
     quantization is the error-dominant half (per-row absmax over an exp'd
     distribution — small probabilities round to the quantum), while the
-    logits GEMM errs pre-softmax where it is gentlest. Returns the per-head
-    (T, D) f32 normalized outputs."""
+    logits GEMM errs pre-softmax where it is gentlest. ``kv_len`` masks key
+    columns >= kv_len (the tower megakernel's 8-aligned token padding — pad
+    rows must not contribute softmax mass). Returns the per-head (T, D) f32
+    normalized outputs."""
     w = heads * head_dim
+    t_pad = xf.shape[0]
+    neg_cols = None
+    if kv_len is not None and kv_len < t_pad:
+        neg_cols = jax.lax.broadcasted_iota(
+            jnp.int32, (1, t_pad), 1) >= kv_len
 
     def qrows(a):
         s = jnp.max(jnp.abs(a), axis=-1, keepdims=True) + 1e-8
@@ -242,6 +252,10 @@ def _attn_int8_cols(xf, heads, head_dim, scale, qk_only: bool = False):
             preferred_element_type=jnp.int32)
         lg = (acc.astype(jnp.float32)
               * (sq * (scale / (127.0 * 127.0))) * sk.T)
+        if neg_cols is not None:
+            # where (not add): a NaN/inf in a masked pad column must not
+            # propagate through exp into the row's softmax sum
+            lg = jnp.where(neg_cols, -1e30, lg)
         p = _exp_probs(lg)
         rsum = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
         if qk_only:

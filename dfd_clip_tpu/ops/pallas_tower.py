@@ -80,10 +80,14 @@ def _make_tower_kernel(
     int8_attn: str,
     dma_export: bool,
     dt,
+    t_valid: int,
+    t_pad: int,
 ):
     w = heads * head_dim
     lo = 1 if drop_cls else 0
+    t_out = t_valid - 1 if drop_cls else t_valid
     scale = head_dim ** -0.5
+    padded = t_pad != t_valid
 
     def kernel(h_any, *rest):
         if int8_gemm:
@@ -144,6 +148,17 @@ def _make_tower_kernel(
         def col(base, h):
             return slice(base + h * head_dim, base + (h + 1) * head_dim)
 
+        # Mosaic tile alignment (session-10 chip fix, PERF.md round 3): the
+        # token axis is zero-padded to a multiple of 8 OUTSIDE the call so
+        # every HBM slice of the residual stream is tile-aligned. Pad rows
+        # must never contribute softmax mass as KEYS (masked below); their
+        # own query/MLP garbage stays in hbuf's pad rows, which are re-zeroed
+        # at each layer store so no unbounded growth can reach inf/NaN.
+        neg_cols = (jax.lax.broadcasted_iota(jnp.int32, (1, t_pad), 1)
+                    >= t_valid) if padded else None
+        row_pad = (jax.lax.broadcasted_iota(jnp.int32, (t_pad, 1), 0)
+                   >= t_valid) if padded else None
+
         def attend(hf32, xf):
             """frame-major attention half: logits -> softmax -> mix ->
             out-proj -> residual (cf. _make_full_block_kernel_phased).
@@ -152,7 +167,8 @@ def _make_tower_kernel(
             on the int8 MXU (pallas_attention._attn_int8_cols)."""
             if int8_attn != "0":
                 cols = _attn_int8_cols(xf, heads, head_dim, scale,
-                                       qk_only=int8_attn == "qk")
+                                       qk_only=int8_attn == "qk",
+                                       kv_len=t_valid if padded else None)
                 return hf32 + oproj(jnp.concatenate(cols, axis=-1))
             logits = [
                 jax.lax.dot_general(
@@ -164,6 +180,10 @@ def _make_tower_kernel(
             ]
             ps, sums = [], []
             for lg in logits:
+                if neg_cols is not None:
+                    # where (not add): NaN/inf in a pad column must not
+                    # survive into the exp
+                    lg = jnp.where(neg_cols, -1e30, lg)
                 p = _exp_probs(lg)
                 ps.append(p.astype(dt))
                 sums.append(1.0 / jnp.sum(p, axis=-1, keepdims=True))
@@ -199,21 +219,25 @@ def _make_tower_kernel(
                 @pl.when(l >= first)
                 def _():
                     for i, xf in enumerate(xfs):
-                        kbuf[i] = xf[lo:, w : 2 * w]
-                        vbuf[i] = xf[lo:, 2 * w :]
+                        kbuf[i] = xf[lo : lo + t_out, w : 2 * w]
+                        vbuf[i] = xf[lo : lo + t_out, 2 * w :]
                     kcp.start()
                     vcp.start()
             else:
-                # windowed export (DFD_TOWER_EXPORT=window): write into the
-                # slot-indexed (1, F, T', W) output window. The window index
-                # is constant while l < first (slot clamps to 0), so the
-                # stale pre-export content is never flushed; the first flush
-                # happens when the slot advances past a REAL write.
+                # windowed export (DFD_TOWER_EXPORT=window, and the
+                # auto-route whenever T' % 8 != 0 — CLIP's 196 always): write
+                # into the slot-indexed (1, F, T', W) output window. The
+                # window spans the full token dim, so Mosaic handles the
+                # unaligned 196 edge; the manual-DMA form cannot (HBM slice
+                # alignment). The window index is constant while l < first
+                # (slot clamps to 0), so the stale pre-export content is
+                # never flushed; the first flush happens when the slot
+                # advances past a REAL write.
                 @pl.when(l >= first)
                 def _():
                     for i, xf in enumerate(xfs):
-                        k_win[0, base + i] = xf[lo:, w : 2 * w]
-                        v_win[0, base + i] = xf[lo:, 2 * w :]
+                        k_win[0, base + i] = xf[lo : lo + t_out, w : 2 * w]
+                        v_win[0, base + i] = xf[lo : lo + t_out, 2 * w :]
 
             @pl.when(l < last)
             def _():
@@ -226,7 +250,13 @@ def _make_tower_kernel(
                 mids = [m * jax.nn.sigmoid(1.702 * m) for m in mids]
                 for i, (hm, mid) in enumerate(zip(hmids, mids)):
                     out2 = gemm(mid, wproj_ref, wprojs_ref, bproj_ref)
-                    hbuf[base + i] = (hm + out2).astype(dt)
+                    hnew = hm + out2
+                    if row_pad is not None:
+                        # keep pad rows at zero: their garbage is re-derived
+                        # from zeros each layer (single-layer bounded) so it
+                        # can never random-walk to inf across the stack
+                        hnew = jnp.where(row_pad, 0.0, hnew)
+                    hbuf[base + i] = hnew.astype(dt)
 
             if dma_export:
                 @pl.when(l >= first)
@@ -295,6 +325,15 @@ def fused_encoder_tower(
     dt = h.dtype
     frames, group = tower_frames(n)
 
+    # Mosaic requires HBM slices to be 8-row tile-aligned in the second-minor
+    # dim: the hydrate DMA slices (frames, T, W) out of the residual stream,
+    # so T is zero-padded to a multiple of 8 (CLIP: 197 -> 200) before the
+    # call. Pad keys are masked inside the kernel; pad rows are never
+    # exported (exports slice [lo:lo+t_out]).
+    t_pad = -(-t // 8) * 8
+    if t_pad != t:
+        h = jnp.pad(h, ((0, 0), (0, t_pad - t), (0, 0)))
+
     sl = lambda a: a[: last + 1]
     hidden = blocks["mlp"]["c_fc"]["w"].shape[-1]
     bqkv = sl(blocks["attn"]["in_proj"]["b"]).astype(jnp.float32).reshape(-1, 1, 3 * w)
@@ -349,19 +388,24 @@ def fused_encoder_tower(
             lconst((1, w)), lconst((1, w)),
         ]
 
-    # Export mechanism: "dma" (default) writes K/V by manual async copy into
-    # ANY-space outputs — VMEM cost is one (group, T', W) staging pair.
-    # "window" uses slot-indexed output windows instead — simpler Mosaic
-    # surface (no in-kernel DMA), but two double-buffered (1, F, T', W)
-    # windows of VMEM; the fallback if the DMA form hits a lowering bug.
-    dma_export = os.environ.get("DFD_TOWER_EXPORT", "dma") != "window"
+    # Export mechanism: "dma" writes K/V by manual async copy into ANY-space
+    # outputs — VMEM cost is one (group, T', W) staging pair, but the HBM
+    # destination slice must be 8-row aligned, so it is only legal when
+    # T' % 8 == 0 (DINOv2's 256; never CLIP's 196). Otherwise the export
+    # auto-routes to "window": slot-indexed output windows — the window
+    # spans the full token dim (alignment-free) at the cost of two
+    # double-buffered (1, F, T', W) VMEM windows (~1.2 MB/frame), which is
+    # why the window form defaults the scoped-VMEM request to 96 MB.
+    # DFD_TOWER_EXPORT=window forces the fallback.
+    dma_export = (os.environ.get("DFD_TOWER_EXPORT", "dma") != "window"
+                  and t_out % 8 == 0)
     if dma_export:
         out_specs = (
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         )
         scratch = [
-            pltpu.VMEM((frames, t, w), dt),        # hbuf: the residual carry
+            pltpu.VMEM((frames, t_pad, w), dt),    # hbuf: the residual carry
             pltpu.VMEM((group, t_out, w), dt),     # kbuf: K staging
             pltpu.VMEM((group, t_out, w), dt),     # vbuf: V staging
             pltpu.SemaphoreType.DMA((3,)),
@@ -374,14 +418,14 @@ def fused_encoder_tower(
         )
         out_specs = (kv_win, kv_win)
         scratch = [
-            pltpu.VMEM((frames, t, w), dt),        # hbuf: the residual carry
+            pltpu.VMEM((frames, t_pad, w), dt),    # hbuf: the residual carry
             pltpu.SemaphoreType.DMA((1,)),         # h-load only
         ]
 
     k, v = pl.pallas_call(
         _make_tower_kernel(heads, head_dim, frames, group, first, last,
                            drop_cls, int8_gemm, int8_wo, int8_attn,
-                           dma_export, dt),
+                           dma_export, dt, t, t_pad),
         out_shape=(
             jax.ShapeDtypeStruct((nsel, n, t_out, w), dt),
             jax.ShapeDtypeStruct((nsel, n, t_out, w), dt),
@@ -391,6 +435,6 @@ def fused_encoder_tower(
         out_specs=out_specs,
         scratch_shapes=scratch,
         interpret=_interpret(),
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(64 if dma_export else 96),
     )(*inputs)
     return k, v
