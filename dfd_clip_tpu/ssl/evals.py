@@ -10,7 +10,9 @@ regression is L-BFGS-free Adam with L2.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+import json
+import os
+from typing import Callable, Dict, Mapping, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -19,6 +21,53 @@ import optax
 
 from ..models import dinov2_vit
 from ..models.clip_vit import ViTConfig
+
+
+def topk_accuracy(
+    logits: np.ndarray,
+    labels: np.ndarray,
+    ks: Sequence[int] = (1, 5),
+    averaging: str = "micro",
+    num_classes: Optional[int] = None,
+) -> Dict[str, float]:
+    """Top-k accuracy with the reference's averaging modes
+    (dinov2/eval/metrics.py:21-114 build_topk_accuracy_metric):
+
+      micro      — MEAN_ACCURACY (torchmetrics average="micro")
+      macro      — MEAN_PER_CLASS_ACCURACY (average="macro": accuracy per
+                   class, then unweighted mean over classes seen in labels)
+      per-class  — PER_CLASS_ACCURACY (average=None: one entry per class)
+
+    Padded eval rows carry label < 0 (pad_and_collate) and are dropped, the
+    way the reference's _pad_and_collate pads with -1."""
+    labels = np.asarray(labels)
+    valid = labels >= 0
+    logits, labels = np.asarray(logits)[valid], labels[valid]
+    if num_classes is None:
+        num_classes = logits.shape[-1]
+    out: Dict[str, float] = {}
+    # one argsort serves every k
+    kmax = min(max(ks), logits.shape[-1])
+    top = np.argsort(-logits, axis=-1)[:, :kmax]
+    for k in ks:
+        k_eff = min(k, logits.shape[-1])
+        hit = (top[:, :k_eff] == labels[:, None]).any(axis=-1)
+        if averaging == "micro":
+            out[f"top-{k}"] = float(hit.mean()) if len(hit) else 0.0
+            continue
+        per_class = np.full((num_classes,), np.nan)
+        for c in np.unique(labels):
+            per_class[c] = float(hit[labels == c].mean())
+        if averaging == "macro":
+            seen = ~np.isnan(per_class)
+            out[f"top-{k}"] = float(per_class[seen].mean()) if seen.any() else 0.0
+        elif averaging == "per-class":
+            for c in range(num_classes):
+                if not np.isnan(per_class[c]):
+                    out[f"top-{k}_class{c}"] = per_class[c]
+        else:
+            raise ValueError(f"unknown averaging {averaging!r}")
+    return out
 
 
 def extract_features(
@@ -45,6 +94,47 @@ def extract_features(
             x = np.concatenate([x, np.repeat(x[-1:], batch_size - valid, 0)])
         feats.append(np.asarray(fwd(backbone_params, x))[:valid])
     return np.concatenate(feats)
+
+
+def extract_features_enumerated(
+    backbone_params,
+    arch: ViTConfig,
+    dataset,
+    transform: Optional[Callable] = None,
+    batch_size: int = 64,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Feature extraction over an (image, target) dataset through the
+    enumerated-targets adapter: samples are transformed host-side, batches
+    padded to a static shape (pad label -1), and each feature row scattered
+    into the global (N, W) array by its enumerated index — shard-order
+    independent, like the reference's distributed gather
+    (dinov2/eval/utils.py:100-147 over data/adapters.py). Returns
+    (features, labels)."""
+    from .data_adapters import DatasetWithEnumeratedTargets, pad_and_collate
+
+    ds = DatasetWithEnumeratedTargets(dataset)
+    n = len(ds)
+    if n == 0:
+        raise ValueError("extract_features_enumerated got an empty dataset")
+    fwd = jax.jit(
+        lambda p, x: dinov2_vit.dinov2_forward(p, x, arch, compute_dtype)["cls"]
+    )
+    feats = labels = None
+    for i in range(0, n, batch_size):
+        batch = [ds[j] for j in range(i, min(i + batch_size, n))]
+        if transform is not None:
+            batch = [(transform(img), t) for img, t in batch]
+        x, idxs, ys = pad_and_collate(
+            batch, batch_size if n > batch_size else None)
+        out = np.asarray(fwd(backbone_params, x.astype(np.float32)))
+        if feats is None:
+            feats = np.zeros((n, out.shape[-1]), out.dtype)
+            labels = np.full((n,), -1, np.int64)
+        valid = ys >= 0
+        feats[idxs[valid]] = out[valid]
+        labels[idxs[valid]] = ys[valid]
+    return feats, labels
 
 
 def knn_classify(
@@ -184,6 +274,12 @@ def train_linear_probe_grid(
     epochs: int = 50,
     batch_size: int = 256,
     seed: int = 0,
+    val_feats: Optional[np.ndarray] = None,
+    val_labels: Optional[np.ndarray] = None,
+    eval_period_epochs: int = 0,
+    checkpoint_path: Optional[str] = None,
+    metrics_path: Optional[str] = None,
+    schedule_epochs: Optional[int] = None,
 ) -> Tuple[Dict, Callable, Dict]:
     """Jointly train a GRID of linear classifiers over (lr, weight_decay).
 
@@ -192,6 +288,22 @@ def train_linear_probe_grid(
     is an independent (w, b) trained in ONE jitted vmapped SGD step, so the
     whole grid costs one pass over the features. The best member by held-out
     accuracy is returned as (params, predict_fn, report).
+
+    Reference-depth knobs (dinov2/eval/linear.py:380-460):
+      val_feats/val_labels — a dedicated validation set for selection
+        (default: an internal val_fraction split of the train features);
+      eval_period_epochs   — evaluate the whole grid every N epochs and log
+        one JSONL line per eval to ``metrics_path`` (the reference's
+        results_eval_linear.json stream), recorded in report["history"];
+      checkpoint_path      — periodic .npz checkpoint of the grid + momenta
+        at every eval; an existing file RESUMES training at its epoch (the
+        reference's PeriodicCheckpointer(resume=True)). The permutation
+        stream is replayed deterministically, so a resumed run converges to
+        the same selection as an uninterrupted one;
+      schedule_epochs      — the cosine schedule's fixed horizon (defaults
+        to ``epochs``): an early-stopped run (epochs < schedule_epochs)
+        checkpoints states that a later resume continues bit-for-bit, like
+        the reference's fixed max_iter.
     """
     if lrs is None:
         lrs = np.array([1e-3, 3e-3, 1e-2, 3e-2, 1e-1], np.float32)
@@ -204,10 +316,15 @@ def train_linear_probe_grid(
 
     rng = np.random.default_rng(seed)
     n = len(train_feats)
-    order = rng.permutation(n)
-    n_val = max(1, int(n * val_fraction))
-    val_idx, tr_idx = order[:n_val], order[n_val:]
-    xs, ys = train_feats[tr_idx], train_labels[tr_idx]
+    if val_feats is not None:
+        xs, ys = train_feats, train_labels
+        vx, vy = val_feats, val_labels
+    else:
+        order = rng.permutation(n)
+        n_val = max(1, int(n * val_fraction))
+        val_idx, tr_idx = order[:n_val], order[n_val:]
+        xs, ys = train_feats[tr_idx], train_labels[tr_idx]
+        vx, vy = train_feats[val_idx], train_labels[val_idx]
     d = train_feats.shape[1]
 
     params = {
@@ -216,7 +333,22 @@ def train_linear_probe_grid(
     }
     mom = jax.tree_util.tree_map(jnp.zeros_like, params)
     steps_per_epoch = max(1, (len(xs) + batch_size - 1) // batch_size)
-    total_steps = epochs * steps_per_epoch
+    horizon = epochs if schedule_epochs is None else schedule_epochs
+    if horizon < epochs:
+        raise ValueError(
+            f"schedule_epochs={horizon} must cover epochs={epochs}")
+    total_steps = horizon * steps_per_epoch
+
+    start_epoch = 0
+    if checkpoint_path and os.path.isfile(checkpoint_path):
+        ck = np.load(checkpoint_path)
+        params = {"w": jnp.asarray(ck["w"]), "b": jnp.asarray(ck["b"])}
+        mom = {"w": jnp.asarray(ck["mw"]), "b": jnp.asarray(ck["mb"])}
+        start_epoch = int(ck["epoch"])
+        # replay the permutation stream for the completed epochs so the
+        # resumed run sees the exact batches the uninterrupted one would
+        for _ in range(start_epoch):
+            rng.permutation(len(xs))
 
     @jax.jit
     def step(params, mom, x, y, t):
@@ -242,31 +374,91 @@ def train_linear_probe_grid(
         }
         return params, new_mom
 
-    t = 0
-    for _ in range(epochs):
+    def grid_val_acc(params):
+        # held-out selection across the whole grid in one matmul
+        logits = jnp.einsum("nd,gdc->gnc", jnp.asarray(vx),
+                            params["w"]) + params["b"][:, None, :]
+        return jnp.mean(
+            (jnp.argmax(logits, -1) == jnp.asarray(vy)[None]), axis=-1)
+
+    def save_ck(epoch):
+        tmp = checkpoint_path + ".tmp.npz"
+        np.savez(tmp, w=np.asarray(params["w"]), b=np.asarray(params["b"]),
+                 mw=np.asarray(mom["w"]), mb=np.asarray(mom["b"]),
+                 epoch=epoch)
+        os.replace(tmp, checkpoint_path)
+
+    history = []
+    inner = range(0, len(xs) - len(xs) % batch_size or len(xs), batch_size)
+    t = start_epoch * len(inner)
+    for ep in range(start_epoch, epochs):
         ep_order = rng.permutation(len(xs))
-        for i in range(0, len(xs) - len(xs) % batch_size or len(xs), batch_size):
+        for i in inner:
             idx = ep_order[i : i + batch_size]
             params, mom = step(params, mom, jnp.asarray(xs[idx]),
                                jnp.asarray(ys[idx]), jnp.asarray(t, jnp.float32))
             t += 1
+        if (eval_period_epochs and (ep + 1) % eval_period_epochs == 0
+                and ep + 1 < epochs):
+            acc = grid_val_acc(params)
+            b = int(jnp.argmax(acc))
+            rec = {"epoch": ep + 1,
+                   "best": f"lr{grid[b][0]:g}_wd{grid[b][1]:g}",
+                   "best_acc": float(acc[b]),
+                   "members": {f"lr{lr:g}_wd{wd:g}": float(acc[i])
+                               for i, (lr, wd) in enumerate(grid)}}
+            history.append(rec)
+            if metrics_path:
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+            if checkpoint_path:
+                save_ck(ep + 1)
 
-    # held-out selection across the whole grid in one matmul
-    val_logits = jnp.einsum("nd,gdc->gnc", jnp.asarray(train_feats[val_idx]),
-                            params["w"]) + params["b"][:, None, :]
-    val_acc = jnp.mean(
-        (jnp.argmax(val_logits, -1) == jnp.asarray(train_labels[val_idx])[None]),
-        axis=-1,
-    )
+    val_acc = grid_val_acc(params)
     best = int(jnp.argmax(val_acc))
     best_params = {"w": params["w"][best], "b": params["b"][best]}
     report = {
         f"lr{lr:g}_wd{wd:g}": float(val_acc[i]) for i, (lr, wd) in enumerate(grid)
     }
     report["best"] = f"lr{grid[best][0]:g}_wd{grid[best][1]:g}"
+    if eval_period_epochs:
+        report["history"] = history
+    if checkpoint_path:
+        save_ck(epochs)
 
     def predict(feats: np.ndarray) -> np.ndarray:
         logits = jnp.asarray(feats) @ best_params["w"] + best_params["b"]
         return np.asarray(jnp.argmax(logits, axis=-1))
 
     return best_params, predict, report
+
+
+def test_on_datasets(
+    probe_params: Dict,
+    datasets: Mapping[str, Tuple[np.ndarray, np.ndarray]],
+    ks: Sequence[int] = (1,),
+    averaging: str = "micro",
+    class_mappings: Optional[Mapping[str, np.ndarray]] = None,
+    metrics_path: Optional[str] = None,
+) -> Dict[str, float]:
+    """Evaluate the selected probe on several test feature sets — the
+    reference's multi-dataset sweep (dinov2/eval/linear.py:429-462
+    test_on_datasets), feature-space form: each entry maps a dataset name to
+    (features, labels); padded rows carry label -1 (pad_and_collate) and are
+    ignored. ``class_mappings[name]`` optionally restricts/reorders the
+    logit columns the way the reference's class_mapping does (e.g. an
+    ImageNet subset). Returns {f"{name}_top-k": percent} and appends one
+    JSONL record per dataset to ``metrics_path`` when given."""
+    results: Dict[str, float] = {}
+    for name, (feats, labels) in datasets.items():
+        logits = np.asarray(
+            jnp.asarray(feats) @ probe_params["w"] + probe_params["b"])
+        if class_mappings and name in class_mappings:
+            logits = logits[:, np.asarray(class_mappings[name])]
+        accs = topk_accuracy(logits, labels, ks=ks, averaging=averaging)
+        for k, v in accs.items():
+            results[f"{name}_{k}"] = 100.0 * v
+        if metrics_path:
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps({"dataset": name, **accs}) + "\n")
+    return results

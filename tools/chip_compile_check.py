@@ -100,10 +100,14 @@ def check_train_rungs(results: list) -> None:
             optimizer = optim_lib.build_optimizer(
                 mdl.optimizer_spec(), optim_lib.one_cycle_schedule(2.5e-3, 30))
 
-            def train_step(tr, opt_state):
+            # frozen MUST be a jit argument, not a closure: closed-over
+            # weights become HLO constants (~340 MB) and blow the axon
+            # remote-compile body limit (HTTP 413). bench.py passes them
+            # as args; the checker must match or it tests a different graph.
+            def train_step(tr, fz, opt_state, x, y, m):
                 def loss_fn(tr):
                     task_losses, _, other = mdl.forward(
-                        {**frozen, **tr}, x, [y], m, train=True,
+                        {**fz, **tr}, x, [y], m, train=True,
                         single_task=0, rng=rng)
                     return task_losses[0].mean() + sum(
                         v.mean() for v in other.values())
@@ -113,7 +117,8 @@ def check_train_rungs(results: list) -> None:
                 return optax.apply_updates(tr, updates), opt_state, loss
 
             st = optimizer.init(trainable)
-            _, _, loss = jax.jit(train_step)(trainable, st)
+            frozen = jax.device_put(frozen)
+            _, _, loss = jax.jit(train_step)(trainable, frozen, st, x, y, m)
             float(loss)
             results.append((tag, "OK", time.perf_counter() - t0, ""))
         except Exception as e:  # noqa: BLE001
