@@ -27,7 +27,6 @@ import logging
 import math
 import os
 import pickle
-import threading
 from os import path, makedirs
 from typing import Any, Dict, List
 
@@ -125,7 +124,43 @@ def _pad_and_mask(frames: np.ndarray, num_frames: int):
     return frames, mask
 
 
-class FFPP:
+class _SampleRNGMixin:
+    """Stream-position-keyed sample randomness.
+
+    The reference draws per-sample randomness (speed/shift factors,
+    augmentation params, retry resampling) from process-global python/np RNGs
+    (src/datasets.py:304-333), so a sample's content depends on the fetch
+    HISTORY: worker thread interleaving reorders draws, and a checkpoint
+    resume that skips ahead index-wise replays the RNG stream from the top —
+    every post-resume sample decodes differently than in the uninterrupted
+    run (the exact bug: resumed final weights drifted ~1e-5 on the toy e2e).
+
+    Here every draw comes from a generator keyed on the STREAM POSITION
+    (seed, task index, epoch, item index): content is a pure function of
+    position — fetch-order independent (thread-safe without locks),
+    bit-reproducible across kill/requeue, and still fresh every epoch. The
+    DataLoader advertises the epoch via ``set_epoch`` at the top of each
+    ``__iter__`` (data/loader.py), which ``set_position`` re-enters on
+    resume. Same philosophy as the framework's device-side rule of threading
+    explicit PRNG keys instead of tracing stateful RNG (CLAUDE.md).
+    """
+
+    def _init_sample_rng(self, seed: int, index: int) -> None:
+        self._seed = int(seed)
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def _sample_rng(self, idx: int) -> np.random.Generator:
+        return np.random.default_rng(
+            np.random.SeedSequence(
+                (self._seed, int(self.index), self._epoch, int(idx))
+            )
+        )
+
+
+class FFPP(_SampleRNGMixin):
     """FaceForensics++ (reference src/datasets.py:227-734)."""
 
     TYPE_DIRS = {"REAL": "real/", "DF": "DF/", "FS": "FS/", "F2F": "F2F/", "NT": "NT/"}
@@ -175,27 +210,13 @@ class FFPP:
         self.ssl_fake = bool(config.ssl_fake)
         self.contrast_pair = bool(config.contrast_pair)
 
-        self._rng = np.random.default_rng(seed + index)
-        self._rng_lock = threading.Lock()
+        self._init_sample_rng(seed, index)
 
         self._build_video_table(runtime)
         self._build_video_list(runtime)
 
         self.augmentation = ClipAugmenter(config.augmentation)
         self.ssl_pipeline = ssl_fake_pipeline() if self.ssl_fake else None
-
-    # -- randomness (thread-safe host sampling) -------------------------------
-    def _rand(self) -> float:
-        with self._rng_lock:
-            return float(self._rng.random())
-
-    def _randidx(self, n: int) -> int:
-        with self._rng_lock:
-            return int(self._rng.integers(0, n))
-
-    def _spawn_rng(self) -> np.random.Generator:
-        with self._rng_lock:
-            return np.random.default_rng(self._rng.integers(0, 2**63 - 1))
 
     # -- table/list construction ----------------------------------------------
     def _build_video_table(self, runtime):
@@ -275,36 +296,37 @@ class FFPP:
                     speed.append(result["speed"])
             return frames, label, mask, speed, self.index
         elif self.contrast:
+            rng = self._sample_rng(idx)
             result = []
-            if self.ssl_fake and self._rand() > 0.5:
-                result.append(self.get_dict(idx, target_label=False))
-                result.append(self.get_dict(result[-1]["idx"], target_label=False, make_fake=True))
+            if self.ssl_fake and rng.random() > 0.5:
+                result.append(self.get_dict(idx, target_label=False, rng=rng))
+                result.append(self.get_dict(result[-1]["idx"], target_label=False, make_fake=True, rng=rng))
             elif self.contrast_pair:
                 assert len(self.real_clip_idx) > 0, "contrast_pair needs at least one real clip indexed before fakes"
                 while True:
                     try:
                         vid_idx, df_type, _, vid_name, _ = self.video_info(idx)
                         if df_type == "REAL":
-                            idx = self._randidx(len(self))
+                            idx = int(rng.integers(0, len(self)))
                             continue
                         clip_offset = idx - (0 if vid_idx == 0 else self.stack_video_clips[vid_idx - 1])
                         auxi_idx = self.real_clip_idx[vid_name.split("_")[-1]][0] + clip_offset
                         result = [
-                            self.get_dict(auxi_idx, block=True),
-                            self.get_dict(idx, block=True),
+                            self.get_dict(auxi_idx, block=True, rng=rng),
+                            self.get_dict(idx, block=True, rng=rng),
                         ]
                     except Exception:
                         logger.debug("Cannot Form Contrastive Pair, Retry...")
-                        idx = self._randidx(len(self))
+                        idx = int(rng.integers(0, len(self)))
                         continue
                     else:
                         break
             else:
                 _, df_type, _, _, _ = self.video_info(idx)
                 main_label = df_type != "REAL"
-                auxi_idx = self._randidx(len(self))
-                result.append(self.get_dict(idx, target_label=main_label))
-                result.append(self.get_dict(auxi_idx, target_label=not main_label))
+                auxi_idx = int(rng.integers(0, len(self)))
+                result.append(self.get_dict(idx, target_label=main_label, rng=rng))
+                result.append(self.get_dict(auxi_idx, target_label=not main_label, rng=rng))
 
             return (
                 *[[r[name] for r in result] for name in ("frames", "label", "mask", "speed")],
@@ -314,9 +336,15 @@ class FFPP:
             result = self.get_dict(idx)
             return result["frames"], result["label"], result["mask"], result["speed"], self.index
 
-    def get_dict(self, idx, block=False, target_label=None, make_fake=False):
+    def get_dict(self, idx, block=False, target_label=None, make_fake=False,
+                 rng=None):
         assert not make_fake or self.ssl_fake
         assert not make_fake or target_label is False
+        # rng is the stream-position generator (see _SampleRNGMixin); a
+        # caller that draws several samples per item (contrast pairs)
+        # threads one generator through so the pair is a single key.
+        if rng is None:
+            rng = self._sample_rng(idx)
 
         while True:
             try:
@@ -324,7 +352,7 @@ class FFPP:
 
                 if target_label is not None:
                     if target_label != (df_type != "REAL"):
-                        idx = self._randidx(len(self))
+                        idx = int(rng.integers(0, len(self)))
                         continue
 
                 video_meta = self.video_table[df_type][comp][video_name]
@@ -333,14 +361,14 @@ class FFPP:
                 ) * self.clip_duration
 
                 if self.split == "train" and self.random_speed:
-                    video_speed_factor = self._rand() * 0.5 + 0.5
-                    video_shift_factor = self._rand() * (1 - video_speed_factor)
+                    video_speed_factor = float(rng.random()) * 0.5 + 0.5
+                    video_shift_factor = float(rng.random()) * (1 - video_speed_factor)
                 else:
                     video_speed_factor = 1.0
                     video_shift_factor = 0.0
 
                 replay: Dict[str, Any] = {}
-                aug_rng = self._spawn_rng()
+                aug_rng = rng
                 frames = {}
                 for target_comp in ("raw", "c23"):
                     vid_path = video_meta["path"]
@@ -385,7 +413,7 @@ class FFPP:
                 logger.error("Error occur: %s", e)
                 if block:
                     raise
-                idx = self._randidx(len(self))
+                idx = int(rng.integers(0, len(self)))
 
     def collate_fn(self, batch):
         """[frames, label, mask, comps, speed, index] with comp interleave
@@ -414,7 +442,7 @@ class FFPP:
         return [frames, label, mask, comps, speed, index]
 
 
-class _TestOnlyVideoDataset:
+class _TestOnlyVideoDataset(_SampleRNGMixin):
     """Shared skeleton for the test-split-only datasets (CDF/DFDC)."""
 
     LABELS = ("REAL", "FAKE")
@@ -438,15 +466,10 @@ class _TestOnlyVideoDataset:
         self.scale = config.scale
         self.pack = bool(config.pack)
         self.split = split
-        self._rng = np.random.default_rng(seed + index)
-        self._rng_lock = threading.Lock()
+        self._init_sample_rng(seed, index)
 
         self._build_video_table(runtime)
         self._build_video_list(runtime)
-
-    def _randidx(self, n: int) -> int:
-        with self._rng_lock:
-            return int(self._rng.integers(0, n))
 
     def _build_video_table(self, runtime):
         self.video_table = {}
@@ -505,6 +528,7 @@ class _TestOnlyVideoDataset:
         return result["frames"], result["label"], result["mask"], self.index
 
     def get_dict(self, idx, block=False):
+        rng = self._sample_rng(idx)
         while True:
             try:
                 video_idx = next(i for i, x in enumerate(self.stack_video_clips) if idx < x)
@@ -534,7 +558,7 @@ class _TestOnlyVideoDataset:
                 logger.error("Error occur: %s", e)
                 if block:
                     raise
-                idx = self._randidx(len(self))
+                idx = int(rng.integers(0, len(self)))
 
     def collate_fn(self, batch):
         """Emit the standard 6-field batch (comp 'raw', speed 1)."""
@@ -627,6 +651,7 @@ class DFDC(_TestOnlyVideoDataset):
         self.stack_video_clips.pop(0)
 
     def get_dict(self, idx, block=False):
+        rng = self._sample_rng(idx)
         while True:
             try:
                 video_idx = next(i for i, x in enumerate(self.stack_video_clips) if idx < x)
@@ -656,10 +681,10 @@ class DFDC(_TestOnlyVideoDataset):
                 logger.error("Error occur: %s", e)
                 if block:
                     raise
-                idx = self._randidx(len(self))
+                idx = int(rng.integers(0, len(self)))
 
 
-class RPPG:
+class RPPG(_SampleRNGMixin):
     """MAHNOB-HCI heart-rate dataset (reference src/datasets.py:737-1024).
 
     This implementation consumes the offline artifacts of
@@ -728,8 +753,7 @@ class RPPG:
                 self.runtime_labels = False
         self.label_type = config.label_type
         self.label_dim = config.label_dim
-        self._rng = np.random.default_rng(seed + index)
-        self._rng_lock = threading.Lock()
+        self._init_sample_rng(seed, index)
 
         # split by seeded shuffle (src/datasets.py:776-786) — python Random
         # for bit-exact split parity with the reference.
@@ -779,10 +803,6 @@ class RPPG:
             self.stack_session_clips.append(self.stack_session_clips[-1] + c)
         self.stack_session_clips.pop(0)
 
-    def _randidx(self, n: int) -> int:
-        with self._rng_lock:
-            return int(self._rng.integers(0, n))
-
     def __len__(self):
         if not self.stack_session_clips:
             return 0
@@ -798,6 +818,7 @@ class RPPG:
         return np.float32(bpm - 41)
 
     def get_dict(self, idx):
+        rng = self._sample_rng(idx)
         while True:
             try:
                 comp = self.compressions[int(idx // self.stack_session_clips[-1])]
@@ -851,7 +872,7 @@ class RPPG:
                 return {"frames": frames, "label": label, "mask": mask}
             except Exception as e:
                 logger.error("Error occur: %s", e)
-                idx = self._randidx(len(self))
+                idx = int(rng.integers(0, len(self)))
 
     def _runtime_bpm(self, meta, hr_offset: int, hr_samples: int) -> float:
         """Reference runtime ECG path (src/datasets.py:909-949); requires

@@ -87,6 +87,11 @@ class DataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[Any]:
+        # advertise the stream position: per-sample randomness is keyed on
+        # (seed, epoch, idx) in the dataset (datasets._SampleRNGMixin), so a
+        # set_position resume redraws the exact same speed/augment stream
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self.epoch)
         indices = self._indices()
         self.epoch += 1
         n = len(indices)
