@@ -342,8 +342,8 @@ def main():
             "vs_baseline": 0.0,
             "error": why,
             "note": "axon tunnel outage on bench day (relay down / lease "
-                    "wedge); see PERF.md round-3 outage log. Prior on-chip "
-                    "artifact: BENCH_r02.json",
+                    "wedge / data-path wedge); see PERF.md outage log. "
+                    "Prior on-chip artifact: BENCH_r03.json",
         }))
 
     probe_timeout = float(os.environ.get("BENCH_INIT_TIMEOUT", "1200"))
@@ -351,14 +351,23 @@ def main():
         import subprocess
 
         try:
+            # init AND a small transfer round-trip: the 2026-08-19 outage
+            # mode had jax.devices() succeed (control path up) while every
+            # device_put hung forever (tunnel data path wedged) — an
+            # init-only probe sails through and the bench then hangs inside
+            # the decode worker's staging transfer.
             probe = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
+                [sys.executable, "-c",
+                 "import jax, numpy; "
+                 "x = jax.device_put(numpy.ones(8, numpy.float32)); "
+                 "assert float(x[0]) == 1.0"],
                 timeout=probe_timeout, capture_output=True,
             )
         except subprocess.TimeoutExpired:
             _outage_artifact(
-                f"backend init still hung after {probe_timeout:.0f} s "
-                "(wedged device lease); probe subprocess killed"
+                f"backend init/transfer still hung after {probe_timeout:.0f}"
+                " s (wedged device lease or tunnel data path); probe "
+                "subprocess killed"
             )
             return 1
         if probe.returncode != 0:
@@ -425,7 +434,18 @@ def main():
             w.start()
 
         def run_batch():
-            item = ready_q.get(timeout=600)
+            try:
+                item = ready_q.get(timeout=600)
+            except queue.Empty:
+                alive = sum(w.is_alive() for w in workers)
+                raise RuntimeError(
+                    "no decoded batch arrived within 600 s: "
+                    f"{alive}/{len(workers)} workers alive, worker_err="
+                    f"{worker_err or 'none'} — with workers alive and no "
+                    "error the staging device_put is wedged (tunnel data "
+                    "path down while the control path answers; 2026-08-19 "
+                    "outage mode)"
+                ) from None
             if item is None:
                 raise RuntimeError(f"decode worker died: {worker_err}")
             y, u, v = item
@@ -615,5 +635,33 @@ def main():
     )
 
 
+def _cli():
+    """main() + last-resort artifact guard: ANY uncaught failure still
+    emits the one-line outage JSON (the driver contract) instead of a bare
+    traceback, and exits via os._exit — normal interpreter teardown can
+    SIGABRT ('FATAL: exception not rethrown') when a daemon decode thread
+    is parked inside a wedged native transfer."""
+    try:
+        code = main()
+    except BaseException as e:  # noqa: BLE001 — the artifact must survive
+        import traceback
+
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "1-sec clips/sec/chip (decode->CLIP->head)",
+            "value": 0.0,
+            "unit": "clips/s/chip",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {str(e)[:300]}",
+            "note": "bench crashed mid-run; prior on-chip artifact: "
+                    "BENCH_r03.json / PERF.md ladders",
+        }), flush=True)
+        sys.stderr.flush()
+        os._exit(1)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(code or 0)
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    _cli()
