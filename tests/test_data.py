@@ -439,3 +439,53 @@ def test_prefetch_iter_producer_exits_on_early_consumer_exit():
     for t in leftover:
         t.join(timeout=10)
     assert not any(t.is_alive() for t in leftover)
+
+
+def test_ffpp_sample_content_is_stream_position_pure(ffpp_root, use_opencv_backend):
+    """Sample content must be a pure function of (seed, epoch, idx) — NOT of
+    fetch history or worker interleaving (datasets._SampleRNGMixin). The
+    reference's global-RNG draws make sample pixels depend on everything
+    fetched before (src/datasets.py:304-333); that breaks bit-exact
+    checkpoint resume (tests/test_requeue.py) and multi-worker determinism."""
+    cfg = ffpp_config(ffpp_root, types=["REAL", "DF"], compressions=["raw"])
+    cfg.random_speed = 1
+    cfg.augmentation = "normal"
+
+    def fetch(order, epoch=0):
+        ds = FFPP(cfg, 4, 2, split="train", seed=0)
+        ds.set_epoch(epoch)
+        out = {}
+        for idx in order:
+            r = ds.get_dict(idx, block=True)
+            out[idx] = (r["frames"]["raw"].copy(), r["speed"])
+        return out
+
+    a = fetch([14, 2, 7])
+    b = fetch([2, 7, 14])          # different history, same epoch
+    for idx in a:
+        np.testing.assert_array_equal(a[idx][0], b[idx][0])
+        assert a[idx][1] == b[idx][1]
+
+    c = fetch([14], epoch=1)        # a new epoch redraws
+    assert (c[14][1] != a[14][1]) or not np.array_equal(c[14][0], a[14][0])
+
+
+def test_loader_threaded_deterministic_with_random_speed(ffpp_root, use_opencv_backend):
+    """num_workers>0 yields bit-identical batches to num_workers=0 even with
+    per-sample randomness active — thread interleaving cannot reorder draws
+    because there is no shared RNG stream to reorder."""
+    cfg = ffpp_config(ffpp_root, types=["REAL", "DF"], compressions=["raw"])
+    cfg.random_speed = 1
+    cfg.augmentation = "normal"
+
+    def run(num_workers):
+        ds = FFPP(cfg, 4, 2, split="train", seed=0)
+        dl = DataLoader(ds, batch_size=4, shuffle=True,
+                        num_workers=num_workers, collate_fn=ds.collate_fn)
+        return [(np.asarray(batch[0]), np.asarray(batch[4])) for batch in dl]
+
+    sync, thr = run(0), run(3)
+    assert len(sync) == len(thr)
+    for (fs, ss), (ft, st) in zip(sync, thr):
+        np.testing.assert_array_equal(fs, ft)
+        np.testing.assert_array_equal(ss, st)
