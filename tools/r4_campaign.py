@@ -1,0 +1,171 @@
+"""Round-4 chip campaign driver: fire the queued on-chip work in one command.
+
+The 2026-08-19 axon outage (PERF.md outage log, mode #3: control path up,
+data path wedged) blocked the round's three chip items. This script runs
+them back-to-back the moment the tunnel returns, each phase a bounded
+subprocess with its raw log saved under PERF_r4/:
+
+  probe     small device_put round-trip — abort early if still wedged
+  compile   tools/chip_compile_check.py — every bench.py rung (all int8
+            predict variants + both train rungs) compiles AND runs on chip
+            (round-3 verdict weak #2: five rungs crashed on driver day)
+  sweep     BENCH_BATCH in {16,24,32,48,64} x bench_r3_ladder chain mode —
+            tests the "floor is batch-independent" claim (weak #3); the
+            chained-slope numbers are RTT-immune
+  train     tools/profile_train.py trace + tools/bench_train_ab.py — the
+            202-vs-298 clips/s train/predict gap budget (weak #4)
+  bench     full bench.py -> PERF_r4/bench_candidate.json, the artifact
+            that must be >= the 309 clips/s session-10 floor
+
+Usage:
+  python -u tools/r4_campaign.py                 # everything
+  python -u tools/r4_campaign.py sweep bench     # just those phases
+Summary JSON lands in PERF_r4/summary.json; distill conclusions into
+PERF.md by hand.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+from os import path
+
+REPO = path.dirname(path.dirname(path.abspath(__file__)))
+OUT = path.join(REPO, "PERF_r4")
+PY = sys.executable
+
+BATCHES = [int(b) for b in os.environ.get(
+    "R4_SWEEP_BATCHES", "16,24,32,48,64").split(",")]
+
+
+def run_logged(tag: str, cmd: list, timeout: float, env: dict | None = None):
+    """Run cmd, tee to PERF_r4/<tag>.log, return (rc, text)."""
+    os.makedirs(OUT, exist_ok=True)
+    log = path.join(OUT, f"{tag}.log")
+    t0 = time.time()
+    try:
+        p = subprocess.run(
+            cmd, timeout=timeout, cwd=REPO, text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env={**os.environ, **(env or {})},
+        )
+        rc, text = p.returncode, p.stdout
+    except subprocess.TimeoutExpired as e:
+        rc = -1
+        partial = e.stdout or b""
+        if isinstance(partial, bytes):
+            partial = partial.decode(errors="replace")
+        text = partial + f"\n[TIMEOUT after {timeout:.0f}s]"
+    with open(log, "w") as f:
+        f.write(text)
+    print(f"[{tag}] rc={rc} {time.time()-t0:.0f}s -> {log}", flush=True)
+    return rc, text
+
+
+def phase_probe() -> bool:
+    rc, text = run_logged(
+        "probe",
+        [PY, "-c",
+         # the axon plugin ignores the JAX_PLATFORMS env var — honor it via
+         # the config API so CPU smoke runs don't touch the tunnel
+         "import os, jax; p = os.environ.get('JAX_PLATFORMS');"
+         " p and jax.config.update('jax_platforms', p);"
+         " import numpy; x = jax.device_put(numpy.ones(8, numpy.float32));"
+         " assert float(x[0]) == 1.0; print('transfer OK', jax.devices())"],
+        timeout=float(os.environ.get("R4_PROBE_TIMEOUT", "240")),
+    )
+    ok = rc == 0 and "transfer OK" in text
+    if not ok:
+        print("chip still unreachable — campaign aborted", flush=True)
+    return ok
+
+
+def phase_compile(summary: dict) -> None:
+    rc, text = run_logged(
+        "compile_check", [PY, "-u", "tools/chip_compile_check.py"],
+        timeout=3600)
+    summary["compile_check"] = {
+        "rc": rc,
+        "ok": rc == 0,
+        "rungs": re.findall(r"^(\S+)\s+(OK|FAILED).*$", text, re.M),
+    }
+
+
+def phase_sweep(summary: dict) -> None:
+    sweep = {}
+    for b in BATCHES:
+        rc, text = run_logged(
+            f"sweep_b{b}", [PY, "-u", "tools/bench_r3_ladder.py", "chain"],
+            timeout=2400, env={"BENCH_BATCH": str(b)})
+        m = re.search(r"predict net of feed\s+([\d.]+) ms\s+([\d.]+) clips/s",
+                      text)
+        sweep[b] = {
+            "rc": rc,
+            "ms": float(m.group(1)) if m else None,
+            "clips_per_sec": float(m.group(2)) if m else None,
+        }
+        print(f"  B={b}: {sweep[b]}", flush=True)
+    summary["batch_sweep"] = sweep
+
+
+def phase_train(summary: dict) -> None:
+    rc, _ = run_logged(
+        "train_trace", [PY, "-u", "tools/profile_train.py",
+                        path.join(OUT, "train_trace")], timeout=2400)
+    rc2, text2 = run_logged(
+        "train_trace_summary",
+        [PY, "-u", "tools/trace_summary.py", path.join(OUT, "train_trace")],
+        timeout=600)
+    rc3, text3 = run_logged(
+        "train_ab", [PY, "-u", "tools/bench_train_ab.py"], timeout=2400)
+    summary["train"] = {"trace_rc": rc, "summary_rc": rc2, "ab_rc": rc3,
+                        "ab_tail": text3.strip().splitlines()[-12:]}
+
+
+def phase_bench(summary: dict) -> None:
+    rc, text = run_logged("bench", [PY, "-u", "bench.py"], timeout=5400)
+    artifact = None
+    for line in reversed(text.strip().splitlines()):
+        try:
+            artifact = json.loads(line)
+            break
+        except json.JSONDecodeError:
+            continue
+    if artifact is not None:
+        with open(path.join(OUT, "bench_candidate.json"), "w") as f:
+            json.dump(artifact, f, indent=1)
+    summary["bench"] = {"rc": rc, "artifact": artifact}
+
+
+PHASES = {
+    "compile": phase_compile,
+    "sweep": phase_sweep,
+    "train": phase_train,
+    "bench": phase_bench,
+}
+
+
+def main() -> int:
+    wanted = [a for a in sys.argv[1:] if a in PHASES] or list(PHASES)
+    if not phase_probe():
+        return 1
+    summary: dict = {"started": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                              time.gmtime()),
+                     "phases": wanted}
+    for name in wanted:
+        try:
+            PHASES[name](summary)
+        except Exception as e:  # noqa: BLE001 — later phases must still run
+            summary[name] = {"error": f"{type(e).__name__}: {e}"}
+        with open(path.join(OUT, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+    print(json.dumps(summary, indent=1), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
