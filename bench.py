@@ -266,7 +266,7 @@ def bench_train_step(num_steps: int = 10):
     m = jax.device_put(np.ones((batch, NUM_FRAMES), bool))
     rng = jax.random.key(1)
 
-    def measure(knobs, mdl=model):
+    def measure(knobs, mdl=model, frz=frozen):
         """Median window time for the jitted step under trace-time knobs."""
         os.environ.update(knobs)
         step = jax.jit(make_step(mdl), donate_argnums=(0, 1))
@@ -274,13 +274,13 @@ def bench_train_step(num_steps: int = 10):
         # by the first rung's step
         tr = jax.tree_util.tree_map(lambda a: a + 0, trainable)
         st = optimizer.init(tr)
-        tr, st, loss = step(tr, st, frozen, x, y, m, rng)
+        tr, st, loss = step(tr, st, frz, x, y, m, rng)
         float(loss)  # compile + sync (block_until_ready is a no-op on axon)
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(num_steps):
-                tr, st, loss = step(tr, st, frozen, x, y, m, rng)
+                tr, st, loss = step(tr, st, frz, x, y, m, rng)
             float(loss)  # steps chain through params; one sync drains
             times.append(time.perf_counter() - t0)
         return sorted(times)[1]
@@ -303,9 +303,12 @@ def bench_train_step(num_steps: int = 10):
     int8_elapsed = None
     if os.environ.get("BENCH_SKIP_TRAIN_INT8") != "1":
         imodel = build({"compute_int8": 1})
+        # quantize the frozen tower ONCE (wq/ws sidecar leaves) instead of
+        # inside every jitted grad step — mirrors Trainer.frozen_run
+        ifrozen = imodel.prepare_params(frozen)
         for knob in ("0", "1"):
             try:
-                t = measure({"DFD_MEGAKERNEL": knob}, mdl=imodel)
+                t = measure({"DFD_MEGAKERNEL": knob}, mdl=imodel, frz=ifrozen)
                 int8_elapsed = t if int8_elapsed is None else min(int8_elapsed, t)
             except Exception as e:  # noqa: BLE001 — record, don't die
                 print(f"train int8 rung (mega={knob}) failed: "

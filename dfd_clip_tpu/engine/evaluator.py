@@ -113,7 +113,10 @@ class Evaluator(_Evaluator):
                      "rowid": np.arange(target, dtype=np.int32)}
                 )
                 losses, logits = self._eval_fn(trainer, task_index)(
-                    trainer.trainable, trainer.frozen,
+                    trainer.trainable,
+                    # prefer the once-prepared frozen view (int8 wq/ws
+                    # sidecar leaves) when the trainer carries one
+                    getattr(trainer, "frozen_run", trainer.frozen),
                     arrays["x"], arrays["label"], arrays["m"],
                 )
                 # local-shard host views, label/rowid from the same sharded
@@ -202,7 +205,9 @@ class CompInvEvaluator(_Evaluator):
                     {"x": np.asarray(batch[0]), "c": comp_is_raw}
                 )
                 recon, match = self._eval_fn_cache(
-                    trainer.trainable, trainer.frozen, arrays["x"], arrays["c"]
+                    trainer.trainable,
+                    getattr(trainer, "frozen_run", trainer.frozen),
+                    arrays["x"], arrays["c"]
                 )
                 # local-shard host views (np.asarray would raise on the
                 # cross-process-sharded outputs of a multi-host mesh)

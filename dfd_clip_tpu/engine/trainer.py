@@ -37,7 +37,17 @@ def _merge(trainable: Dict, frozen: Dict) -> Dict:
 
 
 class _Trainer(CallbackMixin):
-    pass
+    def _prepare_frozen(self, frozen):
+        """Runtime view of the frozen pytree fed to jitted step fns: with
+        op_mode.compute_int8 the frozen tower's GEMM weights pre-quantize
+        ONCE here (int8 "wq"/f32 "ws" sidecar leaves the kernels pick up,
+        clip_vit.prepare_int8_params) instead of re-quantizing the full
+        weight set inside every gradient step — the frozen params are jit
+        inputs, so XLA cannot constant-fold the absmax+round pass away.
+        Identity when compute_int8 is off. ``self.frozen`` stays pristine:
+        snapshots/checkpoints never see the runtime-only leaves."""
+        prepare = getattr(self.model, "prepare_params", None)
+        return prepare(frozen) if prepare is not None else frozen
 
 
 class Trainer(_Trainer):
@@ -98,6 +108,7 @@ class Trainer(_Trainer):
         # Replicate state over the mesh; batches get sharded per step.
         self.trainable = runtime.replicate(self.trainable)
         self.frozen = runtime.replicate(self.frozen)
+        self.frozen_run = self._prepare_frozen(self.frozen)
         self.opt_state = runtime.replicate(self.opt_state)
         if self.teacher is not None:
             self.teacher = runtime.replicate(self.teacher)
@@ -397,7 +408,7 @@ class Trainer(_Trainer):
                 label_kinds = (str(device_batch["label"].dtype), device_batch["label"].shape[1:])
                 grad_fn = self._grad_fn(task_index, self.teaching, label_kinds)
                 grads, (task_losses, task_logits, other, y) = grad_fn(
-                    self.trainable, self.frozen, self.teacher,
+                    self.trainable, self.frozen_run, self.teacher,
                     device_batch["x"], device_batch["label"], device_batch["m"],
                     device_batch["comp_is_raw"], device_batch["speed"],
                     self._next_dropout_key(), patch_indices, triplet_indices,
@@ -482,6 +493,7 @@ class CompInvTrainer(_Trainer):
         self.opt_state = self.optimizer.init(self.trainable)
         self.trainable = runtime.replicate(self.trainable)
         self.frozen = runtime.replicate(self.frozen)
+        self.frozen_run = self._prepare_frozen(self.frozen)
         self.opt_state = runtime.replicate(self.opt_state)
 
         self.dataloaders = {}
@@ -546,7 +558,7 @@ class CompInvTrainer(_Trainer):
                 )
                 self.dropout_keys, sub = jax.random.split(self.dropout_keys)
                 self.trainable, self.opt_state, (recon, match) = self._step_fn(
-                    self.trainable, self.frozen, self.opt_state,
+                    self.trainable, self.frozen_run, self.opt_state,
                     arrays["x"], arrays["comp_is_raw"], sub,
                 )
                 # local-shard host views (multi-host-safe; see Evaluator)
@@ -574,7 +586,7 @@ class CompInvTrainer(_Trainer):
         from ..models import adapter as adapter_lib
 
         name = next(iter(self.dataloaders))
-        params = _merge(self.trainable, self.frozen)
+        params = _merge(self.trainable, self.frozen_run)
 
         def raw_kv_batches():
             for _ in range(n_batches):

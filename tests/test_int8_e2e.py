@@ -186,3 +186,40 @@ def test_train_through_decoder_vjp_learns(tmp_path, monkeypatch):
 
     auc = _auroc(root, runtime, trainer)
     assert auc > 0.9, f"VJP-path training failed to learn: AUROC {auc}"
+
+
+def test_trainer_prequantizes_frozen_tower_once():
+    """With op_mode.compute_int8 the Trainer feeds its jitted grad steps a
+    ONCE-prepared frozen pytree (int8 "wq" / f32 "ws" sidecar leaves,
+    clip_vit.prepare_int8_params) instead of re-quantizing the full weight
+    set inside every step; the pristine ``frozen`` — and therefore model
+    snapshots — never see the runtime-only leaves (round-3 verdict item 3:
+    "persisting prepared int8 params across steps")."""
+    runtime = MeshRuntime()
+
+    det = tiny_detector(op_mode={"temporal_position": 1, "compute_int8": 1})
+    cfg = Trainer.get_default_config()
+    cfg.num_workers = 0
+    trainer = Trainer(cfg, runtime, det, [])
+
+    prepped = trainer.frozen_run["encoder"]["blocks"]["attn"]["in_proj"]
+    assert "wq" in prepped and "ws" in prepped
+    assert str(prepped["wq"].dtype) == "int8"
+    pristine = trainer.frozen["encoder"]["blocks"]["attn"]["in_proj"]
+    assert "wq" not in pristine
+
+    snap = trainer.snapshot_model_state(include_frozen=True)
+
+    def leaf_keys(tree, out):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                out.add(k)
+                leaf_keys(v, out)
+        return out
+
+    assert "wq" not in leaf_keys(snap, set()), "runtime leaves leaked into snapshot"
+
+    # bf16 default: prepare is the identity (same objects, no extra copy)
+    det_bf16 = tiny_detector()
+    tr_bf16 = Trainer(cfg, runtime, det_bf16, [])
+    assert tr_bf16.frozen_run is tr_bf16.frozen

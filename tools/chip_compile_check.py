@@ -97,6 +97,9 @@ def check_train_rungs(results: list) -> None:
                            num_frames=bench.NUM_FRAMES)
             params = mdl.init_params(jax.random.key(0))
             trainable, frozen = mdl.partition_params(params)
+            # int8 rungs: pre-quantized wq/ws sidecar leaves, exactly the
+            # composition bench.bench_train_step / Trainer.frozen_run runs
+            frozen = mdl.prepare_params(frozen)
             optimizer = optim_lib.build_optimizer(
                 mdl.optimizer_spec(), optim_lib.one_cycle_schedule(2.5e-3, 30))
 

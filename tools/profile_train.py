@@ -40,11 +40,16 @@ def main():
             "out_dim": [2],
             "losses": ["auc_roc"],
             "dropout": 0.5,
+            # BENCH_TRAIN_INT8=1: profile the W8A8 frozen-forward train
+            # composition (bench.py's int8 train rung) instead of bf16
+            **({"op_mode": {"temporal_position": 1, "compute_int8": 1}}
+               if os.environ.get("BENCH_TRAIN_INT8") == "1" else {}),
         }
     )
     model = Detector(cfg, num_frames=frames)
     params = model.init_params(jax.random.key(0))
     trainable, frozen = model.partition_params(params)
+    frozen = model.prepare_params(frozen)  # int8: quantize the tower once
     optimizer = optim_lib.build_optimizer(
         model.optimizer_spec(), optim_lib.one_cycle_schedule(1e-3, 100))
     opt_state = optimizer.init(trainable)

@@ -12,6 +12,8 @@ subprocess with its raw log saved under PERF_r4/:
   sweep     BENCH_BATCH in {16,24,32,48,64} x bench_r3_ladder chain mode —
             tests the "floor is batch-independent" claim (weak #3); the
             chained-slope numbers are RTT-immune
+  profilep  tools/profile_predict.py trace — names the 13.6 ms/batch of
+            non-GEMM predict time (quant VPU / LN / export DMA / decoder)
   train     tools/profile_train.py trace + tools/bench_train_ab.py — the
             202-vs-298 clips/s train/predict gap budget (weak #4)
   bench     full bench.py -> PERF_r4/bench_candidate.json, the artifact
@@ -112,6 +114,19 @@ def phase_sweep(summary: dict) -> None:
     summary["batch_sweep"] = sweep
 
 
+def phase_profilep(summary: dict) -> None:
+    """Predict-side jax.profiler trace at the winner config (the 13.6 ms
+    non-GEMM breakdown, round-3 verdict weak #3/#4 evidence)."""
+    rc, _ = run_logged(
+        "predict_trace", [PY, "-u", "tools/profile_predict.py",
+                          path.join(OUT, "predict_trace")], timeout=1800)
+    rc2, _ = run_logged(
+        "predict_trace_summary",
+        [PY, "-u", "tools/trace_summary.py", path.join(OUT, "predict_trace")],
+        timeout=600)
+    summary["profilep"] = {"trace_rc": rc, "summary_rc": rc2}
+
+
 def phase_train(summary: dict) -> None:
     rc, _ = run_logged(
         "train_trace", [PY, "-u", "tools/profile_train.py",
@@ -144,6 +159,7 @@ def phase_bench(summary: dict) -> None:
 PHASES = {
     "compile": phase_compile,
     "sweep": phase_sweep,
+    "profilep": phase_profilep,
     "train": phase_train,
     "bench": phase_bench,
 }
