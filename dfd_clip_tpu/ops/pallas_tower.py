@@ -435,6 +435,12 @@ def fused_encoder_tower(
         out_specs=out_specs,
         scratch_shapes=scratch,
         interpret=_interpret(),
-        compiler_params=_compiler_params(64 if dma_export else 96),
+        # the windowed-export form carries double-buffered per-layer weight
+        # sets: ~7 MB int8 but ~14 MB bf16 — the bf16 variant's total scoped
+        # demand at flagship geometry is 103.2 MB, over the int8-sized 96 MB
+        # request (chip compile check, round 4). 112 keeps 16 MB headroom
+        # under the v5e's 128 MB VMEM.
+        compiler_params=_compiler_params(
+            64 if dma_export else (96 if int8_gemm else 112)),
     )(*inputs)
     return k, v
