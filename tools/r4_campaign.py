@@ -12,12 +12,16 @@ subprocess with its raw log saved under PERF_r4/:
   sweep     BENCH_BATCH in {16,24,32,48,64} x bench_r3_ladder chain mode —
             tests the "floor is batch-independent" claim (weak #3); the
             chained-slope numbers are RTT-immune
+  bench     full bench.py -> PERF_r4/bench_candidate.json, the artifact
+            that must be >= the 309 clips/s session-10 floor (adopts the
+            sweep's winning batch size when it beats B=16 by >2%)
   profilep  tools/profile_predict.py trace — names the 13.6 ms/batch of
             non-GEMM predict time (quant VPU / LN / export DMA / decoder)
   train     tools/profile_train.py trace + tools/bench_train_ab.py — the
             202-vs-298 clips/s train/predict gap budget (weak #4)
-  bench     full bench.py -> PERF_r4/bench_candidate.json, the artifact
-            that must be >= the 309 clips/s session-10 floor
+
+Phases run in deliverable-first order (compile, sweep, bench, then the
+profiler traces) so a short lease window still yields the judged artifacts.
 
 Usage:
   python -u tools/r4_campaign.py                 # everything
@@ -142,7 +146,23 @@ def phase_train(summary: dict) -> None:
 
 
 def phase_bench(summary: dict) -> None:
-    rc, text = run_logged("bench", [PY, "-u", "bench.py"], timeout=5400)
+    # adopt the sweep's winning batch size when it beats the B=16 default by
+    # >2% — bench.py's headline device rung should BE the measured floor
+    env = {}
+    sweep = summary.get("batch_sweep") or {}
+    rates = {b: r["clips_per_sec"] for b, r in sweep.items()
+             if r.get("rc") == 0 and r.get("clips_per_sec")}
+    if rates:
+        best = max(rates, key=rates.get)
+        base = rates.get(16) or rates.get("16")
+        if base and rates[best] > 1.02 * base and int(best) != 16:
+            env["BENCH_BATCH"] = str(best)
+            print(f"[bench] sweep winner B={best} "
+                  f"({rates[best]:.1f} vs {base:.1f} clips/s at B=16)",
+                  flush=True)
+    summary["bench_env"] = env
+    rc, text = run_logged("bench", [PY, "-u", "bench.py"], timeout=5400,
+                          env=env)
     artifact = None
     for line in reversed(text.strip().splitlines()):
         try:
@@ -156,12 +176,15 @@ def phase_bench(summary: dict) -> None:
     summary["bench"] = {"rc": rc, "artifact": artifact}
 
 
+# ordered so the artifacts the round is judged on (compile regression, batch
+# sweep, bench candidate) land FIRST if the lease window is short; the
+# profiler traces are diagnosis, not deliverables
 PHASES = {
     "compile": phase_compile,
     "sweep": phase_sweep,
+    "bench": phase_bench,
     "profilep": phase_profilep,
     "train": phase_train,
-    "bench": phase_bench,
 }
 
 
