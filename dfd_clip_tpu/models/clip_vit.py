@@ -219,6 +219,7 @@ def clip_vision_kv(
     drop_cls: bool = False,
     compute_int8: bool = False,
     kv_int8_rows: bool = False,
+    pad_tokens: bool = False,
 ) -> Dict[str, jax.Array]:
     """Run the frozen tower, exporting per-layer head-split K and V.
 
@@ -247,11 +248,21 @@ def clip_vision_kv(
 
     K/V are the raw in-projection outputs before attention/out-proj — the
     exact export point of /root/reference/src/clip/model.py:185-199.
+
+    With ``pad_tokens`` the exported token axis is zero-padded up to a
+    multiple of 8 (CLIP-B: 196 -> 200) so the consumer's (.., T, P, ..) ->
+    (.., T*P, ..) merge is a tiled-layout BITCAST instead of a materialized
+    copy (2 x 1.78 ms/batch at flagship shapes, PERF_r4 predict trace). Pad
+    rows are zeros; the decoder masks them as keys via ``patch_valid``
+    (models/decoder.py). Inference-only: patch-coupled adapter variants
+    (nln joint-LN, BN spatial stats) and per-patch training losses must not
+    see pad rows (models/detector.py gates on train/adapter).
     """
     assert not (kv_int8 and kv_int8_rows), "pick one K/V quantization mode"
     h = embed_patches(params, x, cfg, compute_dtype)
     n, t = h.shape[0], h.shape[1]
     w = cfg.width
+    kv_pad = (-(t - 1 if drop_cls else t)) % 8 if pad_tokens else 0
 
     keep = (
         tuple(range(cfg.layers)) if keep_layers is None else tuple(keep_layers)
@@ -352,7 +363,7 @@ def clip_vision_kv(
         # accumulators as fresh outputs (later layers alias into them),
         # skipping this pass — A/B it per kernel config (the fresh form's
         # Mosaic VMEM accounting differs, see the round-2 note above).
-        tt = t - 1 if drop_cls else t
+        tt = (t - 1 if drop_cls else t) + kv_pad
         kv_dt = jnp.int8 if rows8 else h.dtype
         kacc = jnp.zeros((nsel, n, tt, w), kv_dt)
         vacc = jnp.zeros((nsel, n, tt, w), kv_dt)
@@ -379,7 +390,7 @@ def clip_vision_kv(
                 out = fused_encoder_attn_block(
                     h, bp["ln_1"], bp["attn"], cfg.heads, cfg.head_dim,
                     drop_cls=drop_cls, last_only=True, export_into=into,
-                    int8_gemm=compute_int8, kv_rows8=rows8,
+                    int8_gemm=compute_int8, kv_rows8=rows8, kv_pad=kv_pad,
                 )
                 if rows8:
                     scales[i] = out[2:4]
@@ -394,7 +405,7 @@ def clip_vision_kv(
                     h, bp["ln_1"], bp["attn"], bp["ln_2"], bp["mlp"],
                     cfg.heads, cfg.head_dim,
                     export=i in keep, drop_cls=drop_cls, export_into=into,
-                    int8_gemm=compute_int8, kv_rows8=rows8,
+                    int8_gemm=compute_int8, kv_rows8=rows8, kv_pad=kv_pad,
                 )
                 if i in keep:
                     if rows8:
@@ -410,7 +421,7 @@ def clip_vision_kv(
                 out = fused_encoder_attn_block(
                     h, bp["ln_1"], bp["attn"], cfg.heads, cfg.head_dim,
                     export=True, drop_cls=drop_cls, export_into=into,
-                    int8_gemm=compute_int8, kv_rows8=rows8,
+                    int8_gemm=compute_int8, kv_rows8=rows8, kv_pad=kv_pad,
                 )
                 if rows8:
                     scales[i] = out[3:5]
@@ -441,6 +452,11 @@ def clip_vision_kv(
                 tt = t - 1 if drop_cls else t
                 k = src[..., w : 2 * w].reshape(n, tt, cfg.heads, cfg.head_dim)
                 v = src[..., 2 * w :].reshape(n, tt, cfg.heads, cfg.head_dim)
+                if kv_pad:
+                    # shape parity with the kernels' zero-row export pad
+                    padw = ((0, 0), (0, kv_pad), (0, 0), (0, 0))
+                    k = jnp.pad(k, padw)
+                    v = jnp.pad(v, padw)
             if i < last:
                 attn_out = encoder_self_attention_qkv(qkv, cfg.heads, cfg.head_dim)
                 h = h + lin_wo(bp["attn"]["out_proj"], attn_out)
@@ -503,7 +519,7 @@ def clip_vision_kv(
         out["v_scale"] = jnp.stack([scales[i][1] for i in keep])
         return out
     if stacked_export:
-        tt = t - 1 if drop_cls else t
+        tt = (t - 1 if drop_cls else t) + kv_pad
         return {
             "k": kacc.reshape(nsel, n, tt, cfg.heads, cfg.head_dim
                               ).astype(compute_dtype),

@@ -148,12 +148,17 @@ def apply_decoder(
     *,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    patch_valid: Optional[int] = None,
 ) -> Tuple[List[jax.Array], jax.Array]:
     """Decode per-layer K/V into task logits.
 
     Args:
       kvs: {"k": (Lsel, B, T, P, H, D), "v": same} — selected encoder layers.
       m: (B, T) bool frame-validity mask.
+      patch_valid: with a tile-aligned (padded) K/V export, the count of
+        REAL patches per frame — tokens at patch index >= patch_valid are
+        zero pad rows, masked as keys here (clip_vit.clip_vision_kv
+        pad_tokens). None (or >= P): every patch is real.
 
     Returns: (task_logits list [(B, out_dim)], video_feature).
     """
@@ -179,13 +184,20 @@ def apply_decoder(
         pos = params["positional_embedding"][:t]  # (T, 1, H, D)
         pos_tok = jnp.broadcast_to(pos, (t, p, h, d)).reshape(t * p, h, d)
 
-    # Flatten (T, P) -> L tokens; expand frame mask to token mask.
+    # Flatten (T, P) -> L tokens; expand frame mask to token mask. With a
+    # tile-aligned export (P % 8 == 0) these reshapes are layout bitcasts;
+    # at P=196 each materializes a full K/V copy (~1.78 ms/batch on v5e).
     k_all = k_all.reshape(nsel, b, t * p, h, d)
     v_all = v_all.reshape(nsel, b, t * p, h, d)
     if ks_all is not None:
         ks_all = ks_all.reshape(nsel, b, t * p, 1)
         vs_all = vs_all.reshape(nsel, b, t * p, 1)
-    token_mask = jnp.repeat(m, p, axis=-1)  # (B, T*P)
+    if patch_valid is not None and patch_valid < p:
+        # mask the per-frame zero pad rows of the aligned export as keys
+        pv = jnp.arange(p) < patch_valid  # (P,)
+        token_mask = (m[:, :, None] & pv[None, None, :]).reshape(b, t * p)
+    else:
+        token_mask = jnp.repeat(m, p, axis=-1)  # (B, T*P)
 
     def next_rng():
         nonlocal rng

@@ -286,8 +286,14 @@ class Detector:
             and self.op_mode.get("kv_dtype", "auto") == "int8_rows"
         )
 
-    def _tower_kv(self, enc_params: Params, frames: jax.Array) -> Dict[str, jax.Array]:
-        """Frozen tower on a flat frame batch: (N,3,H,W) -> (Lsel,N,P,H,D)."""
+    def _tower_kv(self, enc_params: Params, frames: jax.Array,
+                  pad_tokens: bool = False) -> Dict[str, jax.Array]:
+        """Frozen tower on a flat frame batch: (N,3,H,W) -> (Lsel,N,P,H,D).
+
+        ``pad_tokens``: 8-align the exported patch axis with zero rows
+        (P=196 -> 200) so the decoder-side (T, P) token merge is a layout
+        bitcast, not a copy — see clip_vit.clip_vision_kv. The decoder masks
+        pad tokens (patch_valid)."""
         if self.foundation in ("clip", "farl"):
             # only the kept layers' K/V are materialized (scatter-in-scan);
             # op_mode.kv_dtype=int8 stores them quantized for capacity
@@ -299,6 +305,7 @@ class Detector:
                 drop_cls=True,
                 compute_int8=bool(self.op_mode.get("compute_int8", 0)),
                 kv_int8_rows=rows8,
+                pad_tokens=pad_tokens,
             )
             if kv_int8:
                 kvs = {
@@ -330,11 +337,19 @@ class Detector:
             for s in ("k", "v")
         }
 
-    def encode_kv(self, params: Params, x: jax.Array) -> Dict[str, jax.Array]:
-        """Frozen-encoder K/V: (B,T,3,H,W) -> {"k","v"}: (Lsel,B,T,P,H,D)."""
+    def encode_kv(self, params: Params, x: jax.Array,
+                  pad_tokens: bool = False) -> Dict[str, jax.Array]:
+        """Frozen-encoder K/V: (B,T,3,H,W) -> {"k","v"}: (Lsel,B,T,P,H,D).
+
+        ``pad_tokens``: P is zero-padded to a multiple of 8 (see _tower_kv);
+        callers must mask patches >= vit_cfg.num_patches."""
+        import functools
+
         from ..ops import spmd
 
         b, t = x.shape[:2]
+        tower = (functools.partial(self._tower_kv, pad_tokens=True)
+                 if pad_tokens else self._tower_kv)
         # Multi-device: run the tower inside shard_map over the (data, seq)
         # mesh so the fused Pallas kernels stay active per shard (the frozen
         # encoder is embarrassingly parallel over batch x frames). kv_int8 is
@@ -343,10 +358,10 @@ class Detector:
         mesh = (None if self._kv_int8() or self._kv_rows8()
                 else spmd.spmd_pallas_mesh())
         if mesh is not None and spmd.encoder_shapes_ok(b, t, mesh):
-            kvs = spmd.spmd_encoder_kv(self._tower_kv, params["encoder"], x, mesh)
+            kvs = spmd.spmd_encoder_kv(tower, params["encoder"], x, mesh)
             return {s: jax.lax.stop_gradient(kvs[s]) for s in ("k", "v")}
         frames = x.reshape((b * t,) + x.shape[2:])
-        kvs = self._tower_kv(params["encoder"], frames)
+        kvs = tower(params["encoder"], frames)
         out = {}
         for s, feats in kvs.items():
             # CLS is dropped at the export site (drop_cls=True above), so the
@@ -372,8 +387,20 @@ class Detector:
         with_adapt_features: bool = False,
     ):
         """Logits for a clip batch. x: (B,T,3,H,W) uint8 or float; m: (B,T) bool."""
+        import os as _os
+
         x = self.preprocess(x)
-        kvs = self.encode_kv(params, x)
+        # Inference-only: 8-align the exported patch axis so the decoder's
+        # (T, P) token merge is a bitcast (saves 2 x 1.78 ms/batch at
+        # flagship shapes). Training and adapter models keep the exact-P
+        # export — patch-coupled adapter variants (nln joint-LN, BN spatial
+        # stats) and per-patch losses must not see pad rows.
+        pad_tokens = (
+            not train
+            and self.adapter_cfg is None
+            and _os.environ.get("DFD_KV_PAD8", "1") != "0"
+        )
+        kvs = self.encode_kv(params, x, pad_tokens=pad_tokens)
 
         if patch_indices is not None:
             # (Lsel, num_select) gather on the patch axis (src/models.py:511-544).
@@ -393,8 +420,17 @@ class Detector:
             )
 
         sub = None if rng is None else jax.random.fold_in(rng, 2)
+        # patch_valid: with a padded export and no gather, tokens >= the
+        # tower's true patch count are zero pad rows to mask as keys. A
+        # patch_indices gather selects only real patches, so everything it
+        # returns is valid.
+        patch_valid = (
+            self.vit_cfg.num_patches
+            if pad_tokens and patch_indices is None else None
+        )
         task_logits, video_features = decoder_lib.apply_decoder(
-            params["decoder"], kvs, m, self.decoder_cfg, train=train, rng=sub
+            params["decoder"], kvs, m, self.decoder_cfg, train=train, rng=sub,
+            patch_valid=patch_valid,
         )
 
         # L2-normalize logits to norm 5 (src/models.py:551-553).

@@ -278,18 +278,32 @@ def _attn_int8_cols(xf, heads, head_dim, scale, qk_only: bool = False,
     return cols
 
 
-def _write_kv_export(refs, f, xf, w, drop_cls, stacked):
+def _write_kv_export(refs, f, xf, w, drop_cls, stacked, kv_pad=0):
     """Write frame f's K/V rows (and scales on the int8_rows path) from the
     packed qkv stream xf (T, 3W). refs = (k, v, ks, vs); ks/vs None on the
-    bf16 path."""
+    bf16 path.
+
+    ``kv_pad`` appends that many ZERO rows per frame so the exported token
+    axis is 8-row tile-aligned (196 -> 200 for CLIP-B): the consumer's
+    (.., T, P, ..) -> (.., T*P, ..) token merge then compiles to a layout
+    BITCAST instead of a materialized ~578 MB copy each for K and V
+    (measured 2x 1.78 ms/batch at flagship shapes, PERF_r4 predict trace).
+    Pad rows are masked as keys by the decoder (decoder.py patch_valid)."""
     k_ref, v_ref, ks_ref, vs_ref = refs
     lo = 1 if drop_cls else 0
     krows, vrows = xf[lo:, w : 2 * w], xf[lo:, 2 * w :]
     if ks_ref is not None:
         krows, ks = _quant_kv_rows(krows)
         vrows, vs = _quant_kv_rows(vrows)
+        if kv_pad:
+            ks = jnp.concatenate([ks, jnp.zeros((kv_pad, 1), ks.dtype)], 0)
+            vs = jnp.concatenate([vs, jnp.zeros((kv_pad, 1), vs.dtype)], 0)
         ks_ref[f] = ks
         vs_ref[f] = vs
+    if kv_pad:
+        zpad = jnp.zeros((kv_pad, w), krows.dtype)
+        krows = jnp.concatenate([krows, zpad], 0)
+        vrows = jnp.concatenate([vrows, zpad], 0)
     if stacked:
         k_ref[0, f] = krows
         v_ref[0, f] = vrows
@@ -301,7 +315,7 @@ def _write_kv_export(refs, f, xf, w, drop_cls, stacked):
 def _make_attn_block_kernel(
     heads: int, head_dim: int, frames: int, export: bool, drop_cls: bool,
     last_only: bool, stacked: bool = False, skip_inputs: int = 0,
-    int8_gemm: bool = False, kv_rows8: bool = False,
+    int8_gemm: bool = False, kv_rows8: bool = False, kv_pad: int = 0,
 ):
     """Fused encoder block front half: LN1 + qkv GEMM + attention + out-proj
     + residual, with optional in-VMEM K/V export.
@@ -365,7 +379,7 @@ def _make_attn_block_kernel(
             xf = qkv.astype(h_ref.dtype)  # (T, 3W)
             if k_ref is not None:
                 _write_kv_export((k_ref, v_ref, ks_ref, vs_ref), f, xf, w,
-                                 drop_cls, stacked)
+                                 drop_cls, stacked, kv_pad)
             if last_only:
                 continue
             logits = [
@@ -408,6 +422,7 @@ def fused_encoder_attn_block(
     export_into=None,
     int8_gemm: bool = False,
     kv_rows8: bool = False,
+    kv_pad: int = 0,
 ):
     """One fused call for the encoder block's attention half.
 
@@ -433,7 +448,7 @@ def fused_encoder_attn_block(
     frames = int(os.environ.get("DFD_FUSED_FRAMES", "4" if w <= 768 else "2"))
     while frames > 1 and n % frames:
         frames //= 2
-    t_out = t - 1 if drop_cls else t
+    t_out = (t - 1 if drop_cls else t) + kv_pad  # export rows (8-aligned pad)
     dt = h.dtype
 
     bqkv = attn["in_proj"]["b"].astype(jnp.float32).reshape(1, 3 * w)
@@ -518,7 +533,8 @@ def fused_encoder_attn_block(
         _make_attn_block_kernel(heads, head_dim, frames, export, drop_cls,
                                 last_only, stacked=stacked,
                                 skip_inputs=len(aliases),
-                                int8_gemm=int8_gemm, kv_rows8=kv_rows8),
+                                int8_gemm=int8_gemm, kv_rows8=kv_rows8,
+                                kv_pad=kv_pad),
         out_shape=tuple(out_shapes),
         grid=(n // frames,),
         in_specs=in_specs,
@@ -549,7 +565,7 @@ def _make_full_block_kernel_phased(
     heads: int, head_dim: int, frames: int, export: bool, drop_cls: bool,
     stacked: bool = False, skip_inputs: int = 0, int8_gemm: bool = False,
     int8_wo: bool = False, kv_rows8: bool = False, mode: str = "full",
-    int8_attn: str = "0",
+    int8_attn: str = "0", kv_pad: int = 0,
 ):
     """Phase-major variant of the whole-block kernel (DFD_PHASE_MAJOR).
 
@@ -665,7 +681,7 @@ def _make_full_block_kernel_phased(
                     _write_kv_export(
                         (k_ref, v_ref, ks_ref, vs_ref), f,
                         xall[f * t_rows : (f + 1) * t_rows], w, drop_cls,
-                        stacked)
+                        stacked, kv_pad)
             hmids = [attend(f, xall[f * t_rows : (f + 1) * t_rows])
                      for f in range(frames)]
             hmid_all = jnp.concatenate(hmids, axis=0)  # (F*T, W) f32
@@ -690,7 +706,7 @@ def _make_full_block_kernel_phased(
             if k_ref is not None:
                 for f, xf in enumerate(xfs):
                     _write_kv_export((k_ref, v_ref, ks_ref, vs_ref), f, xf,
-                                     w, drop_cls, stacked)
+                                     w, drop_cls, stacked, kv_pad)
             logits = [
                 [jax.lax.dot_general(
                     xf[:, col(0, h)], xf[:, col(w, h)],
@@ -735,7 +751,7 @@ def _make_full_block_kernel_phased(
         if k_ref is not None:
             for f, xf in enumerate(xfs):
                 _write_kv_export((k_ref, v_ref, ks_ref, vs_ref), f, xf, w,
-                                 drop_cls, stacked)
+                                 drop_cls, stacked, kv_pad)
         if int8_attn != "0" and mode in ("full", "attn"):
             hmids = [
                 hfs[f].astype(jnp.float32) + oproj(jnp.concatenate(
@@ -791,7 +807,7 @@ def _make_full_block_kernel_phased(
 def _make_full_block_kernel(
     heads: int, head_dim: int, frames: int, export: bool, drop_cls: bool,
     stacked: bool = False, skip_inputs: int = 0, int8_gemm: bool = False,
-    int8_wo: bool = False, kv_rows8: bool = False,
+    int8_wo: bool = False, kv_rows8: bool = False, kv_pad: int = 0,
 ):
     """WHOLE encoder block in one kernel: LN1 + qkv + attention + out-proj +
     residual + LN2 + c_fc + QuickGELU + c_proj + residual (+ K/V export).
@@ -851,7 +867,7 @@ def _make_full_block_kernel(
             xf = qkv.astype(h_ref.dtype)  # (T, 3W)
             if k_ref is not None:
                 _write_kv_export((k_ref, v_ref, ks_ref, vs_ref), f, xf, w,
-                                 drop_cls, stacked)
+                                 drop_cls, stacked, kv_pad)
             logits = [
                 jax.lax.dot_general(
                     xf[:, col(0, h)], xf[:, col(w, h)],
@@ -919,6 +935,7 @@ def fused_encoder_block(
     export_into=None,
     int8_gemm: bool = False,
     kv_rows8: bool = False,
+    kv_pad: int = 0,
 ):
     """One fused call for the ENTIRE encoder block (attention + MLP halves),
     optionally exporting this layer's K/V. Same contract as
@@ -933,7 +950,7 @@ def fused_encoder_block(
     frames = int(os.environ.get("DFD_BLOCK_FRAMES", "2"))
     while frames > 1 and n % frames:
         frames //= 2
-    t_out = t - 1 if drop_cls else t
+    t_out = (t - 1 if drop_cls else t) + kv_pad  # export rows (8-aligned pad)
     dt = h.dtype
 
     bqkv = attn["in_proj"]["b"].astype(jnp.float32).reshape(1, 3 * w)
@@ -1035,12 +1052,12 @@ def fused_encoder_block(
             heads, head_dim, frames, export, drop_cls, stacked=stacked,
             skip_inputs=len(aliases), int8_gemm=int8_gemm, int8_wo=int8_wo,
             kv_rows8=kv_rows8, mode="full" if phase == "1" else phase,
-            int8_attn=int8_attn)
+            int8_attn=int8_attn, kv_pad=kv_pad)
     else:
         kern = _make_full_block_kernel(
             heads, head_dim, frames, export, drop_cls, stacked=stacked,
             skip_inputs=len(aliases), int8_gemm=int8_gemm, int8_wo=int8_wo,
-            kv_rows8=kv_rows8)
+            kv_rows8=kv_rows8, kv_pad=kv_pad)
     outs = pl.pallas_call(
         kern,
         out_shape=tuple(out_shapes),
