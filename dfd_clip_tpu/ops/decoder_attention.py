@@ -111,7 +111,13 @@ def dual_activation_attention(
     # pos are trainable). The kernel itself defines no VJP, but
     # ops/decoder_attention_vjp.py wraps it in jax.custom_vjp: Pallas
     # forward (partials mode), hand-written XLA backward over the saved
-    # softmax stats — so train steps keep the kernel's forward too.
+    # softmax stats. SINGLE-DEVICE training defaults to the XLA forward
+    # instead (DFD_DEC_VJP=1 opts in): the round-4 chip A/B measured the
+    # custom-VJP step at 162.90 vs 165.21 clips/s/chip — the saved-stats
+    # round-trip costs more than the ~1.7 ms kernel forward saves at train
+    # shapes (PERF_r4/train_ab.log). The multi-chip shard_map branch above
+    # keeps the kernel by default: there it buys the exact cross-shard
+    # softmax combine, which the XLA fallback cannot express per shard.
     # The encoder kernels never need this — their params are frozen and
     # their exports stop_gradient'ed, so no tangents reach them.
     if (
@@ -120,7 +126,7 @@ def dual_activation_attention(
         and not attn_mode
         and q_smax.shape[1] == 1
         and k_scale is None
-        and os.environ.get("DFD_DEC_VJP", "1") != "0"
+        and os.environ.get("DFD_DEC_VJP", "0") == "1"
     ):
         from .decoder_attention_vjp import fused_decoder_attention_trainable
 

@@ -50,6 +50,23 @@ def test_tokenize_framing_and_truncate():
                          context_length=6)
 
 
+def test_shipped_bpe_table_standalone():
+    """The repo ships the 49k merge table (misc/bpe_simple_vocab_16e6.txt.gz,
+    public OpenAI CLIP data): the zero-shot text path must work on a clean
+    checkout with no reference tree and no DFD_BPE_PATH override."""
+    import os
+
+    assert os.path.exists(tok_lib.DEFAULT_BPE_PATH), (
+        "misc/bpe_simple_vocab_16e6.txt.gz missing — the tokenizer is not "
+        "self-contained")
+    tk = tok_lib.ClipTokenizer()  # default path
+    assert tk.vocab_size == 49408
+    ids = tk.encode("a photo of a real face")
+    assert ids and tk.decode(ids).strip() == "a photo of a real face"
+    arr = tok_lib.tokenize(["a deepfake video"], tokenizer=tk)
+    assert arr.shape == (1, 77) and arr[0, 0] == tk.sot
+
+
 @pytest.mark.skipif(ref is None, reason="reference tree or torch unavailable")
 def test_tokenizer_golden_vs_reference(monkeypatch):
     """Byte-for-byte id agreement with the reference SimpleTokenizer on its

@@ -25,7 +25,7 @@ from dfd_clip_tpu.engine.callbacks import (
 from dfd_clip_tpu.runtime import MeshRuntime
 
 from fixtures import ffpp_config, tiny_detector
-from test_learning import make_separable_ffpp_tree
+from test_learning import make_adversarial_ffpp_tree, make_separable_ffpp_tree
 
 
 def _auroc(root, runtime, trainer) -> float:
@@ -82,6 +82,64 @@ def test_bf16_trained_int8_scored_auroc_holds(tmp_path, monkeypatch):
     assert abs(auc_bf16 - auc_int8) < 0.05, (auc_bf16, auc_int8)
     assert auc_rows > 0.9, f"int8_rows K/V broke the signal: AUROC {auc_rows}"
     assert abs(auc_bf16 - auc_rows) < 0.05, (auc_bf16, auc_rows)
+
+
+def test_int8_auroc_delta_on_adversarial_fixture(tmp_path, monkeypatch):
+    """Round-5 hardening of the gate (round-4 verdict weak #5): the
+    separable fixture's 140-gray margin means int8 drift could never
+    reorder a score — "AUROC holds" was trivially true. This fixture
+    (make_adversarial_ffpp_tree) has near-boundary margins, per-video
+    difficulty spread, disjoint train/test identities, AND a train->test
+    compression shift (MJPG q95 -> q30, the FF++ c23/c40 analog — the
+    reference's own eval protocol, /root/reference/inference.py:135-160,
+    scores exactly such shifted compressions). The bf16 AUROC must land
+    strictly inside (chance, 1.0) so a quantization-induced drop is
+    MEASURABLE; the gate then bounds the actual bf16->int8 delta."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("DFD_VIDEO_BACKEND", "opencv")
+    root = make_adversarial_ffpp_tree(str(tmp_path / "ffpp"))
+
+    runtime = MeshRuntime()
+    det = tiny_detector()
+    train_ds = FFPP(ffpp_config(root, random_speed=0), num_frames=4,
+                    clip_duration=2, runtime=runtime, split="train", index=0)
+    cfg = Trainer.get_default_config()
+    cfg.max_steps = 60
+    cfg.batch_size = 16 // runtime.data_parallel or 1
+    cfg.num_workers = 0
+    cfg.learning_rate = 3e-3
+    cfg.metrics = [CN({"name": "deepfake/ffpp", "types": ["roc_auc"]})]
+    trainer = Trainer(cfg, runtime, det, [train_ds])
+    trainer.run()
+
+    auc_bf16 = _auroc(root, runtime, trainer)
+
+    det_int8 = tiny_detector(op_mode={"temporal_position": 1,
+                                      "compute_int8": 1})
+    trainer.model = det_int8
+    auc_int8 = _auroc(root, runtime, trainer)
+
+    det_rows = tiny_detector(op_mode={
+        "temporal_position": 1, "compute_int8": 1, "kv_dtype": "int8_rows"})
+    trainer.model = det_rows
+    auc_rows = _auroc(root, runtime, trainer)
+
+    # learnable but NON-TRIVIAL: scores must be reorderable by small drift
+    assert auc_bf16 > 0.72, (
+        f"bf16 AUROC {auc_bf16}: adversarial fixture not learnable")
+    assert auc_bf16 < 0.999, (
+        f"bf16 AUROC {auc_bf16} saturated — the fixture is separable again "
+        "and the int8 delta below is unfalsifiable; re-harden the margins")
+    eps = 0.02
+    print(f"adversarial int8 gate: bf16={auc_bf16:.4f} "
+          f"int8={auc_int8:.4f} (delta {auc_bf16 - auc_int8:+.4f}) "
+          f"int8_rows={auc_rows:.4f} (delta {auc_bf16 - auc_rows:+.4f})")
+    assert auc_int8 >= auc_bf16 - eps, (
+        f"W8A8 costs {auc_bf16 - auc_int8:.4f} AUROC on the shifted eval "
+        f"(bf16 {auc_bf16:.4f} -> int8 {auc_int8:.4f}), over the {eps} gate")
+    assert auc_rows >= auc_bf16 - eps, (
+        f"int8_rows K/V costs {auc_bf16 - auc_rows:.4f} AUROC "
+        f"(bf16 {auc_bf16:.4f} -> rows {auc_rows:.4f}), over the {eps} gate")
 
 
 def test_bf16_trained_megakernel_int8_attn_scored_auroc_holds(
@@ -169,6 +227,9 @@ def test_train_through_decoder_vjp_learns(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     monkeypatch.setenv("DFD_VIDEO_BACKEND", "opencv")
     monkeypatch.setenv("DFD_ATTENTION_BACKEND", "pallas")
+    # single-chip default is the XLA decoder forward (round-4 chip A/B);
+    # this test exercises the custom-VJP path, so opt in explicitly
+    monkeypatch.setenv("DFD_DEC_VJP", "1")
     root = make_separable_ffpp_tree(str(tmp_path / "ffpp"))
 
     runtime = MeshRuntime()

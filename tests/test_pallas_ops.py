@@ -449,6 +449,7 @@ def test_decoder_training_grad_skips_kernel(rng, monkeypatch):
     from dfd_clip_tpu.models.decoder import DecoderConfig, init_decoder
 
     monkeypatch.setenv("DFD_ATTENTION_BACKEND", "pallas")
+    monkeypatch.setenv("DFD_DEC_VJP", "1")  # single-chip default is XLA
     cfg = DecoderConfig(width=128, heads=2, num_frames=3,
                         layer_indices=(0, 1), out_dims=(2,))
     params = init_decoder(jax.random.key(0), cfg)
@@ -484,6 +485,7 @@ def test_decoder_vjp_grad_parity(rng, monkeypatch, stacked, with_pos):
     trainable leaves (q_smax, q_coda, temporal_pos) — including masked
     tokens and a fully-masked sample."""
     monkeypatch.setenv("DFD_ATTENTION_BACKEND", "pallas")
+    monkeypatch.setenv("DFD_DEC_VJP", "1")  # single-chip default is XLA
     b, h, d, t, p = 3, 4, 32, 5, 8   # hd=128, 2h=8 -> batched-grid geometry
     l = t * p
     qs = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
@@ -538,6 +540,7 @@ def test_decoder_vjp_classic_grid_geometry(rng, monkeypatch):
     """Small-head geometry (2H % 8 != 0) falls back to the classic
     samples-outer grid; the VJP path must agree there too."""
     monkeypatch.setenv("DFD_ATTENTION_BACKEND", "pallas")
+    monkeypatch.setenv("DFD_DEC_VJP", "1")  # single-chip default is XLA
     b, h, d, t, p = 2, 2, 64, 3, 8
     l = t * p
     qs = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
@@ -570,6 +573,7 @@ def test_decoder_vjp_kv_grads(rng, monkeypatch, stacked):
     adapter); an earlier revision returned structural zeros, which would
     have silently frozen the adapter on the TPU training path."""
     monkeypatch.setenv("DFD_ATTENTION_BACKEND", "pallas")
+    monkeypatch.setenv("DFD_DEC_VJP", "1")  # single-chip default is XLA
     b, h, d, t, p = 3, 4, 32, 5, 8
     l = t * p
     qs = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)

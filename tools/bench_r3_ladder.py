@@ -222,6 +222,25 @@ LADDERS["mega"] = [
      {**_MEGA, "DFD_TOWER_FRAMES": "20", "DFD_TOWER_EXPORT": "window"}, 1),
 ]
 
+# round-5: re-open the knob space post-kv-pad (the 8-aligned export killed
+# ~3.6 ms/batch of token-merge copies, c9f7922) — the r3/r4 ladder verdicts
+# (kv int8_rows neutral, fr-phase -2 ms, bf=4 untested at full-phase) all
+# predate it. ctl appears first AND last as an ambient-drift check.
+LADDERS["r5"] = [
+    ("ctl full-phase bf=2 (r4 winner)", dict(_R3C_BASE), 1),
+    ("ctl + kv int8_rows", {**_R3C_BASE, "DFD_LADDER_KV_ROWS": "1"}, 1),
+    ("ctl + NO_CLAMP", {**_R3C_BASE, "DFD_NO_CLAMP": "1"}, 1),
+    ("ctl bf=4 VMEM=96",
+     {**_R3C_BASE, "DFD_BLOCK_FRAMES": "4", "DFD_VMEM_LIMIT_MB": "96"}, 1),
+    ("fr-phase bf=2", {**_R3C_BASE, "DFD_PHASE_MAJOR": "fr"}, 1),
+    ("fr-phase bf=4 VMEM=96",
+     {**_R3C_BASE, "DFD_PHASE_MAJOR": "fr", "DFD_BLOCK_FRAMES": "4",
+      "DFD_VMEM_LIMIT_MB": "96"}, 1),
+    ("ctl + kv rows + NO_CLAMP",
+     {**_R3C_BASE, "DFD_LADDER_KV_ROWS": "1", "DFD_NO_CLAMP": "1"}, 1),
+    ("ctl repeat (drift check)", dict(_R3C_BASE), 1),
+]
+
 # int8 attention (logits/PV GEMMs on the int8 MXU) on top of the megakernel
 LADDERS["mega2"] = [
     ("mega F=40 g=4 (ctl)", dict(_MEGA), 1),
