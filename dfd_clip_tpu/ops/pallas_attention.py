@@ -585,7 +585,51 @@ def _make_full_block_kernel_phased(
     work lives (GELU + two quants + LN2 ~ 11M of the ~18M VPU ops/frame):
     the attention intermediates are dead by then, so only the two (T, 4W)
     f32 MLP streams coexist."""
+    import os
+
     w = heads * head_dim
+    # DFD_ABLATE (perf attribution ONLY — changes the math): comma list of
+    # stages to skip so tools/bench_r3_ladder.py's "ablate" ladder can
+    # itemize the in-kernel non-GEMM time on chip. Stages: ln (skip the
+    # normalization, keep scale+shift), scale (constant quant scale — skips
+    # the per-row absmax reduce), quant (skip round/clip/scale entirely),
+    # dequant (skip the output scale mults), exp (probs = raw logits),
+    # norm (skip the softmax row-sum normalization), attn (bypass
+    # logits/softmax/PV — out-proj consumes the q slice), gelu (skip the
+    # QuickGELU sigmoid·x). Applied only on this phased path.
+    ablate = frozenset(filter(None, os.environ.get("DFD_ABLATE", "").split(",")))
+    # DFD_GELU_BF16: run the QuickGELU sigmoid·x in bf16 (the f32 pass
+    # ablated at 3.7 ms/batch across the 11 flagship block kernels). The
+    # GELU output feeds a per-row absmax quant — bf16's ~3 decimal digits
+    # bound the extra relative step error at ~2^-8, inside the int8
+    # quantizer's own 2^-7 quantum (gated end-to-end by the AUROC tests).
+    gelu_bf16 = os.environ.get("DFD_GELU_BF16", "0") == "1"
+    # DFD_KT_LOGITS: the ablation ladder priced the per-head QK^T logits
+    # GEMMs at 7.4 ms/batch while the same-sized PV GEMMs are free — the
+    # logits dot contracts dim 1 of BOTH operands, so Mosaic transposes the
+    # (T, D) k slice per head per frame; PV contracts lhs-1 x rhs-0, the
+    # MXU-native layout. This knob transposes each frame's packed k block
+    # ONCE ((T, W) -> (W, T), one relayout instead of `heads`), folds the
+    # 1/sqrt(D) scale into the transposed k (0.125 = 2^-3: an exponent
+    # shift, EXACT in bf16), and runs native-layout (T, D)x(D, T) logits
+    # GEMMs on 64-row sublane slices.
+    kt_logits = os.environ.get("DFD_KT_LOGITS", "0") == "1"
+    # DFD_ONESCOL: append a ones column to each PV GEMM's v operand so the
+    # softmax row-sums come out of the MXU epilogue for free (D=64 pads to
+    # the 128-lane tile regardless) instead of a VPU row-reduce over every
+    # (T, T) probability tile (ablation: 1.3 ms/batch).
+    ones_col_sums = os.environ.get("DFD_ONESCOL", "0") == "1"
+
+    def qgelu(m):
+        if "gelu" in ablate:
+            return m
+        if gelu_bf16:
+            # sigmoid's exp+divide in bf16 halves the VPU stream; the
+            # 1.702·m mul stays f32 (a bf16 scalar broadcast trips a Mosaic
+            # verifier error on v5e as of jax 0.8.x)
+            s16 = jax.nn.sigmoid((1.702 * m).astype(jnp.bfloat16))
+            return m * s16.astype(jnp.float32)
+        return m * jax.nn.sigmoid(1.702 * m)
 
     def kernel(h_ref, *rest):
         if int8_gemm:
@@ -614,14 +658,32 @@ def _make_full_block_kernel_phased(
             return slice(base + h * head_dim, base + (h + 1) * head_dim)
 
         def ln(x32, s_ref, b_ref):
+            if "ln" in ablate:
+                return x32 * s_ref[...] + b_ref[...]
             mean = jnp.mean(x32, axis=-1, keepdims=True)
             var = jnp.var(x32, axis=-1, keepdims=True)
             return (x32 - mean) * jax.lax.rsqrt(var + 1e-5) * s_ref[...] + b_ref[...]
 
+        def quant(y32):
+            if "quant" in ablate:
+                return y32.astype(jnp.int8), jnp.float32(127.0)
+            if "scale" in ablate:
+                return (jnp.clip(jnp.round(y32), -127, 127).astype(jnp.int8),
+                        jnp.float32(127.0))
+            return _quant_rows(y32)
+
+        def w8a8(yq, y_s, w_ref, ws_ref):
+            if "dequant" in ablate:
+                acc = jax.lax.dot_general(
+                    yq, w_ref[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                return acc.astype(jnp.float32)
+            return _w8a8_dot(yq, y_s, w_ref, ws_ref)
+
         def gemm(y32, w_ref, ws_ref, b_ref):
             if int8_gemm:
-                yq, y_s = _quant_rows(y32)
-                return _w8a8_dot(yq, y_s, w_ref, ws_ref) + b_ref[...]
+                yq, y_s = quant(y32)
+                return w8a8(yq, y_s, w_ref, ws_ref) + b_ref[...]
             return jax.lax.dot_general(
                 y32.astype(h_ref.dtype), w_ref[...],
                 (((1,), (0,)), ((), ())),
@@ -630,8 +692,8 @@ def _make_full_block_kernel_phased(
 
         def oproj(attn32):
             if int8_wo:
-                aq, a_s = _quant_rows(attn32)
-                return _w8a8_dot(aq, a_s, wo_ref, wos_ref) + bo_ref[...]
+                aq, a_s = quant(attn32)
+                return w8a8(aq, a_s, wo_ref, wos_ref) + bo_ref[...]
             return jax.lax.dot_general(
                 attn32.astype(h_ref.dtype), wo_ref[...],
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -686,13 +748,12 @@ def _make_full_block_kernel_phased(
                      for f in range(frames)]
             hmid_all = jnp.concatenate(hmids, axis=0)  # (F*T, W) f32
             y2 = ln(hmid_all, ln2s_ref, ln2b_ref)
-            mid = gemm(y2, wfc_ref, wfcs_ref, bfc_ref)
-            mid = mid * jax.nn.sigmoid(1.702 * mid)  # QuickGELU, f32
+            mid = qgelu(gemm(y2, wfc_ref, wfcs_ref, bfc_ref))
             out2 = gemm(mid, wproj_ref, wprojs_ref, bproj_ref)
             ho_ref[...] = jnp.reshape(
                 (hmid_all + out2).astype(ho_ref.dtype), (frames, t_rows, w))
             return
-        if mode == "fr":
+        if mode in ("fr", "frm"):
             # merged-M GEMMs (the "rows" win: M=F*197 pads ~5.6% vs ~13.7%
             # at M=197) WITHOUT "rows"' frame-major attention (its loss —
             # attend() serializes each frame's VPU softmax against its MXU
@@ -707,6 +768,52 @@ def _make_full_block_kernel_phased(
                 for f, xf in enumerate(xfs):
                     _write_kv_export((k_ref, v_ref, ks_ref, vs_ref), f, xf,
                                      w, drop_cls, stacked, kv_pad)
+            if mode == "frm":
+                # MERGED-frame attention (round-5, after the ablation ladder
+                # priced the per-frame path at 9.8 ms/batch): the per-frame
+                # kernels issue frames*heads tiny (T, D, T) logits/PV GEMM
+                # pairs per grid step, each pipeline-overhead-bound on the
+                # MXU. Here each head runs ONE (F·T, F·T) logits GEMM with
+                # the cross-frame quadrants masked after exp (2x the MACs of
+                # the per-frame pair, but MACs are 4% of the kernel's FLOPs
+                # — fewer, larger GEMMs win). The PV GEMM carries an extra
+                # ones-column so the softmax row-sums fall out of the MXU
+                # for free (D=64 pads to the 128-lane tile either way),
+                # replacing the VPU row-sum reduce (its ablation: 1.3 ms).
+                ell = frames * t_rows
+                blockdiag = (
+                    jax.lax.broadcasted_iota(jnp.int32, (ell, ell), 0)
+                    // t_rows
+                    == jax.lax.broadcasted_iota(jnp.int32, (ell, ell), 1)
+                    // t_rows)
+                ones_col = jnp.ones((ell, 1), h_ref.dtype)
+                lgs = [
+                    jax.lax.dot_general(
+                        xall[:, col(0, h)], xall[:, col(w, h)],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * scale
+                    for h in range(heads)
+                ]
+                pms = [jnp.where(blockdiag, _exp_probs(lg), 0.0).astype(
+                    h_ref.dtype) for lg in lgs]
+                cols = []
+                for h in range(heads):
+                    vp = jnp.concatenate(
+                        [xall[:, col(2 * w, h)], ones_col], axis=1)
+                    pv = jax.lax.dot_general(
+                        pms[h], vp, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (L, D+1)
+                    cols.append(pv[:, :head_dim]
+                                * (1.0 / pv[:, head_dim:]))
+                hmid_all = hall.astype(jnp.float32) + oproj(
+                    jnp.concatenate(cols, axis=-1))
+                y2 = ln(hmid_all, ln2s_ref, ln2b_ref)
+                mid = qgelu(gemm(y2, wfc_ref, wfcs_ref, bfc_ref))
+                out2 = gemm(mid, wproj_ref, wprojs_ref, bproj_ref)
+                ho_ref[...] = jnp.reshape(
+                    (hmid_all + out2).astype(ho_ref.dtype),
+                    (frames, t_rows, w))
+                return
             logits = [
                 [jax.lax.dot_general(
                     xf[:, col(0, h)], xf[:, col(w, h)],
@@ -733,8 +840,7 @@ def _make_full_block_kernel_phased(
             hmid_all = jnp.reshape(h_ref[...], (frames * t_rows, w)).astype(
                 jnp.float32) + oproj(jnp.concatenate(attns, axis=0))
             y2 = ln(hmid_all, ln2s_ref, ln2b_ref)
-            mid = gemm(y2, wfc_ref, wfcs_ref, bfc_ref)
-            mid = mid * jax.nn.sigmoid(1.702 * mid)  # QuickGELU, f32
+            mid = qgelu(gemm(y2, wfc_ref, wfcs_ref, bfc_ref))
             out2 = gemm(mid, wproj_ref, wprojs_ref, bproj_ref)
             ho_ref[...] = jnp.reshape(
                 (hmid_all + out2).astype(ho_ref.dtype), (frames, t_rows, w))
@@ -752,7 +858,13 @@ def _make_full_block_kernel_phased(
             for f, xf in enumerate(xfs):
                 _write_kv_export((k_ref, v_ref, ks_ref, vs_ref), f, xf, w,
                                  drop_cls, stacked, kv_pad)
-        if int8_attn != "0" and mode in ("full", "attn"):
+        if "attn" in ablate:
+            hmids = [
+                hfs[f].astype(jnp.float32)
+                + oproj(xf[:, :w].astype(jnp.float32))
+                for f, xf in enumerate(xfs)
+            ]
+        elif int8_attn != "0" and mode in ("full", "attn"):
             hmids = [
                 hfs[f].astype(jnp.float32) + oproj(jnp.concatenate(
                     _attn_int8_cols(xf, heads, head_dim, scale,
@@ -762,28 +874,68 @@ def _make_full_block_kernel_phased(
         elif mode in ("full", "attn"):
             # attention: logits (MXU) / exp (VPU) / mix (MXU) phases span
             # frames x heads
-            logits = [
-                [jax.lax.dot_general(
-                    xf[:, col(0, h)], xf[:, col(w, h)],
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * scale for h in range(heads)]
-                for xf in xfs
-            ]
+            if "logitsgemm" in ablate:
+                t_rows = h_ref.shape[1]
+                logits = [[xf[:, :t_rows].astype(jnp.float32)
+                           for _ in range(heads)] for xf in xfs]
+            elif kt_logits:
+                # one (T, W) -> (W, T) relayout per frame (scale folded in,
+                # exact: 2^-int exponent shift), then MXU-native NN GEMMs
+                # on 64-row sublane slices of k^T
+                kts = [jnp.transpose(xf[:, w : 2 * w]) * scale for xf in xfs]
+                logits = [
+                    [jax.lax.dot_general(
+                        xf[:, col(0, h)],
+                        kts[f][h * head_dim : (h + 1) * head_dim, :],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) for h in range(heads)]
+                    for f, xf in enumerate(xfs)
+                ]
+            else:
+                logits = [
+                    [jax.lax.dot_general(
+                        xf[:, col(0, h)], xf[:, col(w, h)],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * scale for h in range(heads)]
+                    for xf in xfs
+                ]
             ps = [[None] * heads for _ in range(frames)]
             sums = [[None] * heads for _ in range(frames)]
             for f in range(frames):
                 for h in range(heads):
-                    p = _exp_probs(logits[f][h])
+                    p = logits[f][h] if "exp" in ablate else _exp_probs(
+                        logits[f][h])
                     ps[f][h] = p.astype(h_ref.dtype)
-                    sums[f][h] = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+                    if not ones_col_sums:
+                        sums[f][h] = (jnp.float32(1.0) if "norm" in ablate
+                                      else 1.0 / jnp.sum(p, axis=-1,
+                                                         keepdims=True))
             attns = []
             for f, xf in enumerate(xfs):
-                cols = [
-                    jnp.dot(ps[f][h], xf[:, col(2 * w, h)],
-                            preferred_element_type=jnp.float32) * sums[f][h]
-                    for h in range(heads)
-                ]
+                if "pvgemm" in ablate:
+                    cols = [ps[f][h][:, :head_dim].astype(jnp.float32)
+                            * (1.0 if ones_col_sums else sums[f][h])
+                            for h in range(heads)]
+                elif ones_col_sums:
+                    # v carries a ones column: pv[:, D] = the softmax row
+                    # sum, straight off the MXU (see DFD_ONESCOL above)
+                    ones_c = jnp.ones((xf.shape[0], 1), h_ref.dtype)
+                    cols = []
+                    for h in range(heads):
+                        vp = jnp.concatenate(
+                            [xf[:, col(2 * w, h)], ones_c], axis=1)
+                        pv = jnp.dot(ps[f][h], vp,
+                                     preferred_element_type=jnp.float32)
+                        cols.append(pv[:, :head_dim]
+                                    * (1.0 / pv[:, head_dim:]))
+                else:
+                    cols = [
+                        jnp.dot(ps[f][h], xf[:, col(2 * w, h)],
+                                preferred_element_type=jnp.float32) * sums[f][h]
+                        for h in range(heads)
+                    ]
                 attns.append(jnp.concatenate(cols, axis=-1))
             hmids = [
                 hfs[f].astype(jnp.float32) + oproj(attns[f])
@@ -795,8 +947,7 @@ def _make_full_block_kernel_phased(
             hmids = [attend(f, xf) for f, xf in enumerate(xfs)]
         # MLP half, frame-interleaved
         y2s = [ln(hm, ln2s_ref, ln2b_ref) for hm in hmids]
-        mids = [gemm(y2, wfc_ref, wfcs_ref, bfc_ref) for y2 in y2s]
-        mids = [m * jax.nn.sigmoid(1.702 * m) for m in mids]  # QuickGELU, f32
+        mids = [qgelu(gemm(y2, wfc_ref, wfcs_ref, bfc_ref)) for y2 in y2s]
         for f in range(frames):
             out2 = gemm(mids[f], wproj_ref, wprojs_ref, bproj_ref)
             ho_ref[f] = (hmids[f] + out2).astype(ho_ref.dtype)
@@ -1047,7 +1198,7 @@ def fused_encoder_block(
     phase = os.environ.get("DFD_PHASE_MAJOR", "1" if int8_gemm else "0")
     int8_attn = (os.environ.get("DFD_INT8_ATTN", "0")
                  if int8_gemm else "0")
-    if phase in ("1", "full", "mlp", "rows", "fr"):
+    if phase in ("1", "full", "mlp", "rows", "fr", "frm"):
         kern = _make_full_block_kernel_phased(
             heads, head_dim, frames, export, drop_cls, stacked=stacked,
             skip_inputs=len(aliases), int8_gemm=int8_gemm, int8_wo=int8_wo,

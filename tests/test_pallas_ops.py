@@ -239,7 +239,8 @@ def test_clip_vision_kv_full_block_matches_xla(rng, monkeypatch, stacked, int8):
         )
 
 
-@pytest.mark.parametrize("phase", ["full", "mlp", "attn", "rows", "fr"])
+@pytest.mark.parametrize("phase", ["full", "mlp", "attn", "rows", "fr",
+                                   "frm"])
 def test_clip_vision_kv_phase_major_matches_xla(rng, monkeypatch, phase):
     """DFD_PHASE_MAJOR variants of the whole-block kernel (stage-interleaved
     program order for Mosaic ILP — see _make_full_block_kernel_phased) must

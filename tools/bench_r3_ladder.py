@@ -135,7 +135,8 @@ KNOB_KEYS = ["DFD_FUSED_BLOCK", "DFD_DEC_STACK", "DFD_FRESH_ACC",
              "DFD_PHASE_MAJOR", "DFD_INT8_WO", "DFD_DEC_BATCHED",
              "DFD_VMEM_LIMIT_MB", "DFD_LADDER_KV_ROWS", "DFD_NO_CLAMP",
              "DFD_MEGAKERNEL", "DFD_TOWER_FRAMES", "DFD_TOWER_GROUP",
-             "DFD_INT8_ATTN", "DFD_TOWER_EXPORT", "BENCH_ARCH"]
+             "DFD_INT8_ATTN", "DFD_TOWER_EXPORT", "BENCH_ARCH", "DFD_ABLATE",
+             "DFD_GELU_BF16", "DFD_KT_LOGITS", "DFD_ONESCOL"]
 
 # round-3b: the int8-wo / batched-decoder-grid / VMEM-raise knob set, timed
 # with the chained-slope method (chain_ladder below)
@@ -238,6 +239,81 @@ LADDERS["r5"] = [
       "DFD_VMEM_LIMIT_MB": "96"}, 1),
     ("ctl + kv rows + NO_CLAMP",
      {**_R3C_BASE, "DFD_LADDER_KV_ROWS": "1", "DFD_NO_CLAMP": "1"}, 1),
+    ("ctl repeat (drift check)", dict(_R3C_BASE), 1),
+]
+
+# round-5 per-op attribution: DFD_ABLATE skips ONE stage of the phased
+# whole-block kernel per rung (math-changing — perf attribution only); the
+# delta vs ctl prices that stage ACROSS the full predict, i.e. net of
+# whatever Mosaic was already hiding under the MXU. The "all VPU" rung
+# bounds the total recoverable in-kernel time from above.
+LADDERS["ablate"] = [
+    ("ctl (full phased int8 block)", dict(_R3C_BASE), 1),
+    ("- ln stats", {**_R3C_BASE, "DFD_ABLATE": "ln"}, 1),
+    ("- quant absmax reduce", {**_R3C_BASE, "DFD_ABLATE": "scale"}, 1),
+    ("- quant entirely", {**_R3C_BASE, "DFD_ABLATE": "quant"}, 1),
+    ("- dequant scale mults", {**_R3C_BASE, "DFD_ABLATE": "dequant"}, 1),
+    ("- softmax exp", {**_R3C_BASE, "DFD_ABLATE": "exp"}, 1),
+    ("- softmax row-sum norm", {**_R3C_BASE, "DFD_ABLATE": "norm"}, 1),
+    ("- attention (logits+sm+PV)", {**_R3C_BASE, "DFD_ABLATE": "attn"}, 1),
+    ("- gelu", {**_R3C_BASE, "DFD_ABLATE": "gelu"}, 1),
+    ("- all VPU stages",
+     {**_R3C_BASE, "DFD_ABLATE": "ln,quant,dequant,attn,gelu,norm,exp"}, 1),
+    ("ctl repeat (drift check)", dict(_R3C_BASE), 1),
+]
+
+# round-5b: attack the ablation ladder's two headline terms — attention
+# 9.8 ms (24 tiny per-head GEMM pairs per grid step) and GELU 3.7 ms (f32
+# sigmoid pass). frm = merged-frame masked attention (one (F·T, F·T)
+# logits/PV pair per head + MXU ones-column row-sums); the two ablate rungs
+# first split the 9.8 ms into logits vs PV GEMM shares.
+LADDERS["r5c"] = [
+    ("ctl full-phase bf=2", dict(_R3C_BASE), 1),
+    ("- logits GEMMs (ablate)", {**_R3C_BASE, "DFD_ABLATE": "logitsgemm"}, 1),
+    ("- PV GEMMs (ablate)", {**_R3C_BASE, "DFD_ABLATE": "pvgemm"}, 1),
+    ("frm merged-frame attention",
+     {**_R3C_BASE, "DFD_PHASE_MAJOR": "frm"}, 1),
+    ("frm + gelu bf16",
+     {**_R3C_BASE, "DFD_PHASE_MAJOR": "frm", "DFD_GELU_BF16": "1"}, 1),
+    ("ctl + gelu bf16", {**_R3C_BASE, "DFD_GELU_BF16": "1"}, 1),
+    ("frm + gelu bf16 bf=4 VMEM=96",
+     {**_R3C_BASE, "DFD_PHASE_MAJOR": "frm", "DFD_GELU_BF16": "1",
+      "DFD_BLOCK_FRAMES": "4", "DFD_VMEM_LIMIT_MB": "96"}, 1),
+    ("ctl repeat (drift check)", dict(_R3C_BASE), 1),
+]
+
+# round-5d: the r5c decomposition pinned the whole 9.8 ms attention cost on
+# the LOGITS GEMMs (7.4 ms; PV free — it contracts in MXU-native layout,
+# logits forces a per-head k transpose). KT_LOGITS transposes k once per
+# frame instead; ONESCOL rides the free PV GEMM for the row-sums; GELU_BF16
+# reformulated to dodge the Mosaic bf16-broadcast verifier error.
+LADDERS["r5d"] = [
+    ("ctl full-phase bf=2", dict(_R3C_BASE), 1),
+    ("ctl + KT_LOGITS", {**_R3C_BASE, "DFD_KT_LOGITS": "1"}, 1),
+    ("ctl + ONESCOL", {**_R3C_BASE, "DFD_ONESCOL": "1"}, 1),
+    ("ctl + GELU_BF16 (fixed form)", {**_R3C_BASE, "DFD_GELU_BF16": "1"}, 1),
+    ("ctl + KT + ONESCOL",
+     {**_R3C_BASE, "DFD_KT_LOGITS": "1", "DFD_ONESCOL": "1"}, 1),
+    ("ctl + KT + ONESCOL + GELU16",
+     {**_R3C_BASE, "DFD_KT_LOGITS": "1", "DFD_ONESCOL": "1",
+      "DFD_GELU_BF16": "1"}, 1),
+    ("ctl repeat (drift check)", dict(_R3C_BASE), 1),
+]
+
+# round-5e: last knob shots after r5d measured KT/ONESCOL neutral — the
+# attention GEMMs are real MXU work, so try the int8 MXU for them (2x rate
+# at these K-shallow shapes IF the quant passes hide), and a deeper grid
+# step (bf=8 needs the full 128 MB scoped VMEM; expected Mosaic OOM, the
+# ladder records FAILED gracefully).
+LADDERS["r5e"] = [
+    ("ctl full-phase bf=2", dict(_R3C_BASE), 1),
+    ("ctl + INT8_ATTN=qk (logits int8)",
+     {**_R3C_BASE, "DFD_INT8_ATTN": "qk"}, 1),
+    ("ctl + INT8_ATTN=1 (logits+PV int8)",
+     {**_R3C_BASE, "DFD_INT8_ATTN": "1"}, 1),
+    ("ctl bf=8 VMEM=112",
+     {**_R3C_BASE, "DFD_BLOCK_FRAMES": "8", "DFD_VMEM_LIMIT_MB": "112"}, 1),
+    ("ctl bf=1 (dispatch check)", {**_R3C_BASE, "DFD_BLOCK_FRAMES": "1"}, 1),
     ("ctl repeat (drift check)", dict(_R3C_BASE), 1),
 ]
 
