@@ -390,14 +390,16 @@ class Detector:
         import os as _os
 
         x = self.preprocess(x)
-        # Inference-only: 8-align the exported patch axis so the decoder's
-        # (T, P) token merge is a bitcast (saves 2 x 1.78 ms/batch at
-        # flagship shapes). Training and adapter models keep the exact-P
-        # export — patch-coupled adapter variants (nln joint-LN, BN spatial
-        # stats) and per-patch losses must not see pad rows.
+        # 8-align the exported patch axis so the decoder's (T, P) token
+        # merge is a bitcast (saves 2 x 1.78 ms/batch at flagship predict
+        # shapes, and the same pair of merge copies inside the train step —
+        # round-5 train budget). Adapter models keep the exact-P export:
+        # patch-coupled adapter variants (nln joint-LN, BN spatial stats)
+        # and the per-patch sync-compression loss (which requires an
+        # adapter) must not see pad rows. The decoder masks pad rows as
+        # keys (patch_valid) on both the train and predict paths.
         pad_tokens = (
-            not train
-            and self.adapter_cfg is None
+            self.adapter_cfg is None
             and _os.environ.get("DFD_KV_PAD8", "1") != "0"
         )
         kvs = self.encode_kv(params, x, pad_tokens=pad_tokens)

@@ -110,23 +110,22 @@ def dual_activation_attention(
     # Training differentiates through the decoder (its queries and temporal
     # pos are trainable). The kernel itself defines no VJP, but
     # ops/decoder_attention_vjp.py wraps it in jax.custom_vjp: Pallas
-    # forward (partials mode), hand-written XLA backward over the saved
-    # softmax stats. SINGLE-DEVICE training defaults to the XLA forward
-    # instead (DFD_DEC_VJP=1 opts in): the round-4 chip A/B measured the
-    # custom-VJP step at 162.90 vs 165.21 clips/s/chip — the saved-stats
-    # round-trip costs more than the ~1.7 ms kernel forward saves at train
-    # shapes (PERF_r4/train_ab.log). The multi-chip shard_map branch above
-    # keeps the kernel by default: there it buys the exact cross-shard
-    # softmax combine, which the XLA fallback cannot express per shard.
-    # The encoder kernels never need this — their params are frozen and
-    # their exports stop_gradient'ed, so no tangents reach them.
+    # forward (partials mode), hand-written backward over the saved softmax
+    # stats. The round-4 chip A/B (pre-kv-pad) measured the custom VJP
+    # LOSING (162.90 vs 165.21 clips/s/chip) and flipped the single-chip
+    # default to the XLA forward; the round-5 re-run on the 8-aligned K/V
+    # export flips it back — Pallas fwd wins both int8 (214.9 vs 208.8)
+    # and bf16 (166.6 vs 164.2) because the XLA forward's batched dots
+    # relayout the merged K/V stream (PERF.md round-5 train budget).
+    # Opt-out: DFD_DEC_VJP=0. The encoder kernels never need a VJP — their
+    # params are frozen and their exports stop_gradient'ed.
     if (
         differentiable
         and backend == "pallas"
         and not attn_mode
         and q_smax.shape[1] == 1
         and k_scale is None
-        and os.environ.get("DFD_DEC_VJP", "0") == "1"
+        and os.environ.get("DFD_DEC_VJP", "1") == "1"
     ):
         from .decoder_attention_vjp import fused_decoder_attention_trainable
 
