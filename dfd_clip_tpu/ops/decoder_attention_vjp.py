@@ -77,7 +77,10 @@ def _fwd(q_smax, q_coda, k, v, mask, temporal_pos, layer):
     o_c = o_sc[:, 1].reshape(b, h, d)
     cd = jnp.bfloat16 if k.dtype == jnp.int8 else k.dtype
     out = (0.5 * (o_s + o_c)).astype(cd)[:, None]        # (B, 1, H, D)
-    return out, (q_smax, q_coda, k, v, mask, temporal_pos, denom, mx)
+    # o_s joins the residuals: the Pallas backward's global softmax
+    # coupling term S = Σ_l a_s·da collapses to 0.5·Σ_d g0·o_s, making the
+    # backward single-pass over K/V (see fused_decoder_attention_bwd).
+    return out, (q_smax, q_coda, k, v, mask, temporal_pos, denom, mx, o_s)
 
 
 def _bwd_math(layer, q_smax, q_coda, k, v, mask, temporal_pos, denom, mx, ct):
@@ -162,9 +165,39 @@ def _scatter_slot(dk, dv, k, v, layer):
 
 
 def _bwd(layer, res, ct):
-    q_smax, q_coda, k, v, mask, temporal_pos, denom, mx = res
-    dqs, dqc, dpos, dk, dv = _bwd_math(layer, q_smax, q_coda, k, v, mask,
-                                       temporal_pos, denom, mx, ct)
+    import os
+
+    q_smax, q_coda, k, v, mask, temporal_pos, denom, mx, o_s = res
+    b, _, h, d = q_smax.shape
+    # The Pallas backward consumes K/V in the export layout — the XLA
+    # einsums' batched dots (h a non-leading batch dim) force a
+    # tokens-minor relayout of the whole merged K/V stream instead
+    # (~6.9 ms/step at flagship train shapes, round-5 PERF.md budget).
+    # Geometry gate mirrors the forward kernel's batched-grid gate; small
+    # test towers take the einsum path. dK/dV (live only under a trainable
+    # adapter) always come from the einsums — jit-DCE'd when K/V are
+    # stop_gradient'ed frozen exports.
+    use_pallas = (
+        (h * d) % 128 == 0
+        and (2 * h) % 8 == 0
+        and os.environ.get("DFD_DEC_BWD", "1") == "1"
+        and os.environ.get("DFD_DEC_BATCHED", "1") == "1"
+    )
+    if use_pallas:
+        from .pallas_decoder_attention import fused_decoder_attention_bwd
+
+        dqs, dqc, dpos = fused_decoder_attention_bwd(
+            q_smax, q_coda, k, v, mask, temporal_pos, layer, denom, mx,
+            o_s, ct)
+        dqs = dqs.astype(q_smax.dtype)
+        dqc = dqc.astype(q_coda.dtype)
+        if temporal_pos is not None:
+            dpos = _sum_to(dpos, temporal_pos.shape).astype(temporal_pos.dtype)
+        _, _, _, dk, dv = _bwd_math(layer, q_smax, q_coda, k, v, mask,
+                                    temporal_pos, denom, mx, ct)
+    else:
+        dqs, dqc, dpos, dk, dv = _bwd_math(layer, q_smax, q_coda, k, v, mask,
+                                           temporal_pos, denom, mx, ct)
     dk, dv = _scatter_slot(dk, dv, k, v, layer)
     return (
         dqs,

@@ -248,6 +248,260 @@ def _kernel(qblk_ref, qc_ref, k_ref, v_ref, m_ref, pos_ref, *rest,
             o_ref[0] = (0.5 * (o_s + o_c)).astype(o_ref.dtype)
 
 
+def _bwd_kernel(qblk_ref, qrows_ref, g0blk_ref, stats_ref, k_ref, v_ref,
+                m_ref, pos_ref, *rest, heads: int, head_dim: int,
+                scale: float, l_real: int, lt: int, with_pos: bool,
+                stacked_in: bool, hpad8: int):
+    """Backward of the dual-activation attention for the TRAINABLE leaves
+    (dq_smax, dq_coda, dpos) in ONE pass over K and V per block.
+
+    The global softmax coupling term S[b,h] = Σ_l a_s·da (the only quantity
+    that naively forces a second pass over L) collapses to
+    0.5·Σ_d g0·o_s — g0 the output cotangent, o_s the forward's normalized
+    softmax output, both (B, H, D) — because da = 0.5·(vp·g0) distributes
+    through the Σ_l a_s·vp = o_s contraction. The caller computes S in XLA
+    from the saved o_s residual and passes it in; the kernel then needs
+    only the running (2H+hpad8, HD) gradient accumulators per sample.
+
+    Grid (L-tiles OUTER, samples inner) — same order as the forward's
+    batched grid so the shared pos/dpos tile is resident across the inner
+    sample sweep. Blocks: qblk (1, HD, 2H) [block-diag q_smax|q_coda],
+    qrows (1, 3, HD) f32 [rows: q_smax, q_coda, g0], g0blk (1, HD, H)
+    [block-diag g0], stats (1, 3, H) f32 [rows: running max, denominator,
+    S], k/v (1, Lt, HD) (or stacked (1, 1, Lt, HD) slot), m (1, Lt, 1),
+    pos (Lt, HD). Outputs: dq (1, 2, HD) f32 [rows dq_smax, dq_coda],
+    written on the final tile; dpos (Lt, HD) f32 accumulated across the
+    inner sample sweep (block index (t, 0): resident in VMEM for the whole
+    sweep, flushed when t advances). Scratch: per-sample (2H+hpad8, HD)
+    f32 accumulator — rows [0:H) Σ dls^T·kp, [H:2H) Σ dlc^T·kp,
+    [2H:2H+hpad8) Σ du^T·sign (head rows padded to an 8-row store).
+
+    Math mirrors ops/decoder_attention_vjp._bwd_math; logits reproduce the
+    forward kernel's own arithmetic ((k+pos) @ qblk · scale in the input
+    dtype) so exp(ls - mx) consumes the saved stats consistently."""
+    t, i = pl.program_id(0), pl.program_id(1)
+    hd = heads * head_dim
+    if with_pos:
+        dq_ref, dpos_ref, accs = rest
+    else:
+        dq_ref, accs = rest
+        dpos_ref = None
+    acc = accs.at[i]
+    f32 = jnp.float32
+
+    @pl.when(t == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    k = k_ref[0, 0] if stacked_in else k_ref[0]   # (Lt, HD)
+    v = v_ref[0, 0] if stacked_in else v_ref[0]
+    if with_pos:
+        k = k + pos_ref[...]
+        v = v + pos_ref[...]
+    row = jax.lax.broadcasted_iota(jnp.int32, (lt, 1), 0) + t * lt
+    inb = row < l_real
+    # Zero out-of-bounds rows of BOTH streams: boundary-tile reads are
+    # undefined memory, and a NaN bit pattern would poison every MXU
+    # accumulation below even under zero weights (0*NaN=NaN).
+    k = jnp.where(inb, k, jnp.zeros((), k.dtype))
+    v = jnp.where(inb, v, jnp.zeros((), v.dtype))
+    mcol = (m_ref[0] > 0) & inb                   # (Lt, 1)
+
+    mx = stats_ref[0, 0:1, :]                     # (1, H) f32
+    denom = stats_ref[0, 1:2, :]
+    S = stats_ref[0, 2:3, :]
+
+    # logits for both activations — same single MXU issue as the forward
+    logits = jax.lax.dot_general(
+        k, qblk_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) * scale                                      # (Lt, 2H)
+    ls = logits[:, :heads]
+    lc = logits[:, heads:]
+    p = jnp.where(mcol, jnp.exp(ls - mx), 0.0)    # (Lt, H)
+    a_s = p * (1.0 / jnp.maximum(denom, 1e-30))
+    tnh = jnp.tanh(lc)
+
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (heads, hd), 1) // head_dim
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (heads, hd), 0)
+    E = (col_head == row_head).astype(f32)
+
+    qc_row = qrows_ref[0, 1:2, :]                 # (1, HD) f32
+    diff = qc_row - k.astype(f32)                 # (Lt, HD)
+    l1 = jax.lax.dot_general(
+        jnp.abs(diff), E, (((1,), (1,)), ((), ())), preferred_element_type=f32
+    )                                             # (Lt, H)
+    g_un = 2.0 * jax.nn.sigmoid(-l1 * scale)
+    gate = jnp.where(mcol, g_un, 0.0)
+
+    # da = 0.5 * (g0 · vp) per head — one MXU issue on the block-diag g0
+    w = jax.lax.dot_general(
+        v, g0blk_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=f32
+    )                                             # (Lt, H)
+    da = 0.5 * w
+    dls = jnp.where(mcol, a_s * (da - S), 0.0)
+    dlc = jnp.where(mcol, da * gate * (1.0 - tnh * tnh), 0.0)
+    du = jnp.where(mcol, -scale * (da * tnh) * g_un * (1.0 - 0.5 * g_un), 0.0)
+
+    cd = k.dtype
+    sign = jnp.sign(diff)                         # (Lt, HD) f32
+    # accumulate Σ_l dls^T·kp / dlc^T·kp (one issue) and du^T·sign
+    g_sc = jax.lax.dot_general(
+        jnp.concatenate([dls, dlc], axis=1).astype(cd), k,
+        (((0,), (0,)), ((), ())), preferred_element_type=f32,
+    )                                             # (2H, HD)
+    dup = jnp.concatenate(
+        [du, jnp.zeros((lt, hpad8 - heads), f32)], axis=1)
+    g_u = jax.lax.dot_general(
+        dup, sign, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+    )                                             # (hpad8, HD)
+    acc[0:2 * heads, :] = acc[0:2 * heads, :] + g_sc
+    acc[2 * heads:, :] = acc[2 * heads:, :] + g_u
+
+    if with_pos:
+        # dpos tile = Σ_b dkp + dvp, accumulated across the inner sweep
+        @pl.when(i == 0)
+        def _():
+            dpos_ref[...] = jnp.zeros_like(dpos_ref)
+
+        qs_row = qrows_ref[0, 0:1, :]
+        g0_row = qrows_ref[0, 2:3, :]
+        avt = jnp.where(mcol, 0.5 * (a_s + tnh * gate), 0.0)
+        # four head->HD-lane expansions (each term carries its own
+        # multiplier, so they cannot share one concatenated E issue)
+        dls_hd = jax.lax.dot_general(dls, E, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+        dlc_hd = jax.lax.dot_general(dlc, E, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+        du_hd = jax.lax.dot_general(du, E, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=f32)
+        avt_hd = jax.lax.dot_general(avt, E, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+        contrib = (dls_hd * (qs_row * scale) + dlc_hd * (qc_row * scale)
+                   - du_hd * sign + avt_hd * g0_row)
+        dpos_ref[...] = dpos_ref[...] + contrib
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        dqs = scale * jnp.sum(acc[0:heads, :] * E, axis=0, keepdims=True)
+        dqc = (scale * jnp.sum(acc[heads:2 * heads, :] * E, axis=0,
+                               keepdims=True)
+               + jnp.sum(acc[2 * heads:2 * heads + heads, :] * E, axis=0,
+                         keepdims=True))
+        dq_ref[0] = jnp.concatenate([dqs, dqc], axis=0)  # (2, HD)
+
+
+def fused_decoder_attention_bwd(
+    q_smax: jax.Array,
+    q_coda: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array,
+    temporal_pos: jax.Array | None,
+    layer: int | None,
+    denom: jax.Array,
+    mx: jax.Array,
+    o_s: jax.Array,
+    ct: jax.Array,
+):
+    """Pallas backward for the trainable decoder-attention leaves.
+
+    Returns (dq_smax (B,1,H,D), dq_coda (B,1,H,D), dpos (L,H,D) f32 or
+    None). Consumes K/V in their export layout — no relayout copies (the
+    XLA backward's batched dots force a tokens-minor relayout of the whole
+    merged K/V stream, ~6.9 ms/step at flagship train shapes; round-5
+    train budget in PERF.md). dK/dV (adapter paths) stay with the XLA
+    einsums in decoder_attention_vjp._bwd_math — dead code the jit DCEs on
+    the frozen-encoder path.
+
+    denom/mx: saved softmax stats (B, H) f32. o_s: the forward's
+    normalized softmax-branch output (B, H, D) f32 — S = 0.5·Σ_d g0·o_s
+    (see _bwd_kernel). ct: output cotangent (B, 1, H, D)."""
+    b, _, h, d = q_smax.shape
+    stacked_in = layer is not None
+    l = k.shape[2] if stacked_in else k.shape[1]
+    hd = h * d
+    scale = d ** -0.5
+    lt = _pick_tile(l)
+    n_tiles = -(-l // lt)
+    cd = jnp.bfloat16 if k.dtype == jnp.int8 else k.dtype
+    f32 = jnp.float32
+    hpad8 = -(-h // 8) * 8
+
+    if stacked_in:
+        nblk = k.shape[0]
+        kf = k.reshape(nblk, b, l, hd)
+        vf = v.reshape(nblk, b, l, hd)
+        kv_spec = pl.BlockSpec(
+            (1, 1, lt, hd), lambda t, i, _layer=layer: (_layer, i, t, 0),
+            memory_space=pltpu.VMEM)
+    else:
+        kf = k.reshape(b, l, hd)
+        vf = v.reshape(b, l, hd)
+        kv_spec = pl.BlockSpec((1, lt, hd), lambda t, i: (i, t, 0),
+                               memory_space=pltpu.VMEM)
+    mf = mask.astype(jnp.int32)[..., None]
+
+    with_pos = temporal_pos is not None
+    if with_pos:
+        pos = jnp.broadcast_to(temporal_pos, (l, h, d)).reshape(l, hd).astype(cd)
+        pos_index = lambda t, i: (t, 0)  # noqa: E731
+    else:
+        pos = jnp.zeros((lt, hd), cd)
+        pos_index = lambda t, i: (0, 0)  # noqa: E731
+
+    g0 = ct[:, 0].astype(f32)                               # (B, H, D)
+    eye = jnp.eye(h, dtype=cd)
+    qs_blk = (q_smax[:, 0].astype(cd)[..., None] * eye[None, :, None, :]).reshape(b, hd, h)
+    qc_blk = (q_coda[:, 0].astype(cd)[..., None] * eye[None, :, None, :]).reshape(b, hd, h)
+    qblk = jnp.concatenate([qs_blk, qc_blk], axis=2)        # (B, HD, 2H)
+    g0blk = (g0.astype(cd)[..., None] * eye[None, :, None, :]).reshape(b, hd, h)
+    qrows = jnp.stack(
+        [q_smax[:, 0].reshape(b, hd).astype(f32),
+         q_coda[:, 0].reshape(b, hd).astype(f32),
+         g0.reshape(b, hd)], axis=1)                        # (B, 3, HD) f32
+    S = 0.5 * jnp.einsum("bhd,bhd->bh", g0, o_s.astype(f32))
+    stats = jnp.stack([mx.astype(f32), denom.astype(f32), S], axis=1)
+
+    kernel = functools.partial(
+        _bwd_kernel, heads=h, head_dim=d, scale=scale, l_real=l, lt=lt,
+        with_pos=with_pos, stacked_in=stacked_in, hpad8=hpad8,
+    )
+    out_shape = [jax.ShapeDtypeStruct((b, 2, hd), f32)]
+    out_specs = [pl.BlockSpec((1, 2, hd), lambda t, i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    if with_pos:
+        out_shape.append(jax.ShapeDtypeStruct((n_tiles * lt, hd), f32))
+        out_specs.append(pl.BlockSpec((lt, hd), lambda t, i: (t, 0),
+                                      memory_space=pltpu.VMEM))
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shape),
+        grid=(n_tiles, b),
+        in_specs=[
+            pl.BlockSpec((1, hd, 2 * h), lambda t, i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, hd), lambda t, i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd, h), lambda t, i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, h), lambda t, i: (i, 0, 0), memory_space=pltpu.VMEM),
+            kv_spec,
+            kv_spec,
+            pl.BlockSpec((1, lt, 1), lambda t, i: (i, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lt, hd), pos_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        scratch_shapes=[
+            pltpu.VMEM((b, 2 * h + hpad8, hd), f32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(qblk, qrows, g0blk, stats, kf, vf, mf, pos)
+    dq = outs[0]
+    dqs = dq[:, 0].reshape(b, 1, h, d)
+    dqc = dq[:, 1].reshape(b, 1, h, d)
+    dpos = outs[1][:l].reshape(l, h, d) if with_pos else None
+    return dqs, dqc, dpos
+
+
 def fused_decoder_attention(
     q_smax: jax.Array,
     q_coda: jax.Array,
