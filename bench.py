@@ -607,6 +607,19 @@ def main():
     decode_cap = DECODE_CLIPS_PER_SEC_CORE * PROD_DECODE_CORES
     dev_default = int8_per_chip if int8_per_chip else dev_per_chip
     projected = min(dev_default, decode_cap, h2d_cap)
+    # Sensitivity of the ONE assumed term (round-4 verdict weak #6): the
+    # projection is H2D-bound only below ~0.5 GB/s (device rate x 1.5 MB
+    # YUV420 per clip); any PCIe-class link (4-16 GB/s) leaves the device
+    # rate binding. The dev host CAN'T measure PCIe — tools/bench_h2d.py
+    # measured the tunnel instead (fit t = 75 ms + bytes / 28.8 MB/s,
+    # PERF_r5/h2d.json) and found pipelined H2D DEGRADES on the tunnel
+    # (negative overlap: concurrent streams contend), which is why `value`
+    # tracks tunnel weather and the projection exists at all.
+    h2d_sensitivity = {
+        f"{g}GBps": round(min(dev_default, decode_cap,
+                              g * 1e9 / bytes_per_clip), 1)
+        for g in (0.5, 4, 8, 16)
+    }
 
     print(
         json.dumps(
@@ -623,6 +636,7 @@ def main():
                 "int8_kernel": int8_kernel,
                 "projected_e2e_clips_per_sec_chip": round(projected, 2),
                 "projected_vs_baseline": round(projected / BASELINE_EST_CLIPS_PER_SEC, 3),
+                "projected_h2d_sensitivity": h2d_sensitivity,
                 "train_clips_per_sec_chip": train_clips,
                 "train_steps_per_sec": train_steps,
                 "train_batch_clips": train_batch,

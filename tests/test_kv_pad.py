@@ -93,9 +93,11 @@ def test_predict_unchanged_by_padding(monkeypatch, backend):
 
 
 def test_train_and_adapter_paths_keep_exact_export(monkeypatch):
-    """Padding must stay OFF for train-mode predict and adapter models:
-    patch-coupled adapter variants (nln joint-LN, BN spatial stats) and
-    per-patch losses would see pad rows."""
+    """Padding must stay OFF for adapter models: patch-coupled adapter
+    variants (nln joint-LN, BN spatial stats) and the per-patch
+    sync-compression loss (adapter-only) would see pad rows. Train-mode
+    predict PADS since round 5 (the same merge copies sat inside the grad
+    step); test_train_forward_unchanged_by_padding pins its numerics."""
     import sys
 
     sys.path.insert(0, os.path.dirname(__file__))
@@ -121,5 +123,37 @@ def test_train_and_adapter_paths_keep_exact_export(monkeypatch):
     m = np.ones((1, 2), bool)
     # must run without shape errors: the adapter path keeps the exact export
     adapter.predict(aparams, x, m)
-    # train-mode predict also keeps the exact export (per-patch losses)
+    # train-mode predict pads and must run without shape errors
     model.predict(params, x, m, train=True, rng=jax.random.key(2))
+
+
+def test_train_forward_unchanged_by_padding(monkeypatch):
+    """The padded export must not change the train-mode forward: at
+    dropout=0 the logits and losses are numerically identical with
+    DFD_KV_PAD8 on/off (pad rows are masked as keys via patch_valid).
+    (Under dropout>0 the padded key axis changes the dropout mask draw —
+    statistically equivalent, not bit-equal; compare at 0.)"""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fixtures import tiny_detector
+
+    model = tiny_detector(dropout=0.0)
+    params = model.init_params(jax.random.key(0))
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 255, (2, 3, 3, 32, 32), np.uint8)
+    m = np.ones((2, 3), bool)
+    m[1, 2] = False
+    y = jnp.asarray([0, 1], jnp.int32)
+
+    outs = {}
+    for pad in ("1", "0"):
+        monkeypatch.setenv("DFD_KV_PAD8", pad)
+        losses, logits, other = model.forward(
+            params, jnp.asarray(x), [y], jnp.asarray(m), train=True,
+            single_task=0, rng=jax.random.key(3))
+        outs[pad] = (np.asarray(losses[0]), np.asarray(logits[0]))
+    np.testing.assert_allclose(outs["1"][0], outs["0"][0],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(outs["1"][1], outs["0"][1],
+                               rtol=1e-5, atol=1e-6)

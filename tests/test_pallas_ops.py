@@ -537,6 +537,38 @@ def test_decoder_vjp_grad_parity(rng, monkeypatch, stacked, with_pos):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_decoder_vjp_grad_parity_flagship_geometry(rng, monkeypatch):
+    """Flagship head geometry (H=12, D=64): hpad8=16 != H exercises the
+    Pallas backward's padded du accumulator rows, and 2H=24 its aligned
+    sliced stores — the production shape class, shrunk in L/B."""
+    monkeypatch.setenv("DFD_ATTENTION_BACKEND", "pallas")
+    monkeypatch.setenv("DFD_DEC_VJP", "1")
+    b, h, d, t, p = 2, 12, 64, 3, 8
+    l = t * p
+    qs = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+    qc = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, b, l, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, b, l, h, d)), jnp.float32)
+    pos = jnp.asarray(0.2 * rng.standard_normal((l, h, d)), jnp.float32)
+    mask = np.ones((b, l), bool)
+    mask[0, 2 * p:] = False
+    mask = jnp.asarray(mask)
+    r = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+
+    def loss(qs, qc, pos):
+        out = dual_activation_attention(
+            qs, qc, k, v, mask, num_frames=t, temporal_pos=pos, layer=0,
+            differentiable=True)
+        return jnp.sum(out.astype(jnp.float32) * r)
+
+    got = jax.grad(loss, argnums=(0, 1, 2))(qs, qc, pos)
+    monkeypatch.setenv("DFD_DEC_BWD", "0")   # XLA stats backward
+    want = jax.grad(loss, argnums=(0, 1, 2))(qs, qc, pos)
+    for g, w, name in zip(got, want, ("q_smax", "q_coda", "pos")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
 def test_decoder_vjp_classic_grid_geometry(rng, monkeypatch):
     """Small-head geometry (2H % 8 != 0) falls back to the classic
     samples-outer grid; the VJP path must agree there too."""
